@@ -1,0 +1,68 @@
+"""Engine configuration.
+
+Mirrors the flatten-relevant subset of the reference's sink config
+(``JdbcSinkConfig.java``): key names, defaults and parsing semantics
+are reproduced so a user of the reference can carry their config over.
+Citations: flatten keys ``JdbcSinkConfig.java:253-332``, coordinates
+defaults ``:261-279``, pk mode/fields ``:144-171``, insert mode
+``:133-139``, delete ``:116-118``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_COORDINATE_FIELDS = (
+    # JdbcSinkConfig.java:272-273 (FIELDS_COORDINATES_DEFAULT)
+    "kafkatopic",
+    "kafkapartition",
+    "kafkaoffset",
+    "kafkatimestamp",
+    "kafkatimestamp_type",
+)
+
+
+@dataclass(frozen=True)
+class FlattenConfig:
+    """Flatten + apply configuration.
+
+    Paths in ``pk_fields`` / ``pk_propagate_value_fields`` /
+    ``containers_whitelist`` / ``rename_fields`` keys are dotted,
+    lower-case container paths exactly as the reference expects them
+    (``README.md:153-158``: array fields are referenced by repeating
+    the containing field name per array level).
+    """
+
+    topic: str = "topic"
+    delimiter: str = "_"  # flatten.delimiter, JdbcSinkConfig.java:304-309
+    uppercase: bool = False  # flatten.uppercase, :296-301
+    coordinates: bool = False  # flatten.coordinates, :261-267
+    coordinate_fields: tuple[str, ...] = DEFAULT_COORDINATE_FIELDS
+    containers_whitelist: frozenset[str] = frozenset()  # :319-325
+    rename_fields: dict[str, str] = field(default_factory=dict)  # :280-287
+    rename_tables: dict[str, str] = field(default_factory=dict)  # :288-295
+    pk_mode: str = "none"  # "none" | "flatten" (PrimaryKeyMode, :144-171)
+    pk_fields: tuple[str, ...] = ()
+    pk_propagate_value_fields: tuple[str, ...] = ()  # :312-318
+    delete_enabled: bool = False  # :116-118
+    insert_mode: str = "upsert"  # "insert" | "upsert"  (:133-139)
+
+    def case(self, name: str) -> str:
+        """Case-force a name (``FlattenTransformation.java:723-725``)."""
+        return name.upper() if self.uppercase else name.lower()
+
+    def rename_or_path(self, path: str, field_name: str, full_path: bool) -> str:
+        """Target-name rule (``FlattenTransformation.java:727-736``).
+
+        Rename map is keyed on ``path.fieldname`` (dotted, lower);
+        a configured rename is returned verbatim.  Otherwise full-path
+        names join the dotted path with the delimiter.
+        """
+        key = f"{path}.{field_name.lower()}" if path else f".{field_name.lower()}"
+        if key in self.rename_fields:
+            return self.rename_fields[key]
+        if full_path:
+            return self.case(
+                path.replace(".", self.delimiter) + self.delimiter + field_name
+            )
+        return self.case(field_name)

@@ -1,0 +1,422 @@
+"""Flatten plan compiler — the engine's only "planner".
+
+Pure Python (no SparkSession needed): walks a Spark ``StructType``
+value schema plus an optional key schema and compiles the reference's
+flatten semantics into a list of per-table ``TableSpec`` pipelines
+that ``operators.explode`` executes as declarative
+``explode_outer``/``select`` chains.
+
+Reference parity (all citations into ``/root/reference/``):
+
+* leaf enumeration / container walk  — ``FlattenTransformation.java:647-713``
+* main-container table split (group by prefix up to the LAST
+  ARRAY/MAP on the leaf's path)      — ``FlattenTransformation.java:149-157``
+* duplicate-name / PK full-path column naming
+                                      — ``FlattenTransformation.java:232-243``
+* optional-last-container ⇒ nullable leaf
+                                      — ``FlattenTransformation.java:246-251``
+* map-key ``<path>_key`` columns + propagation
+                                      — ``FlattenTransformation.java:461-472, 215-220``
+* value-PK propagation (``flatten.pk_propagate_value_fields``)
+                                      — ``FlattenTransformation.java:659-671, 199-208``
+* key-PK extraction + propagation to every table
+                                      — ``FlattenTransformation.java:334-368``
+* container whitelist pruning         — ``FlattenTransformation.java:696-703``
+* rename maps                         — ``FlattenTransformation.java:727-736``
+* coordinates columns                 — ``FlattenTransformation.java:715-721``
+* table naming (topic ⊕ delim ⊕ container path, renames)
+                                      — ``JdbcDbWriter.java:85-108``
+* tombstone instruction               — ``FlattenTransformation.java:298-314``
+* root container naming               — ``FlattenTransformation.java:744-757``
+
+The compiled plan is memoized per (schema fingerprint, config) —
+the Spark-side analogue of the reference's instruction LRU cache
+(``FlattenTransformation.java:39-60``); unlike the reference we never
+re-interpret per record: Catalyst compiles the emitted expressions to
+JVM bytecode once per micro-batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from ..config import FlattenConfig
+
+STRUCT, ARRAY, MAP = "struct", "array", "map"
+
+_CONTAINER_TYPES = (T.StructType, T.ArrayType, T.MapType)
+
+
+def _is_container(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _CONTAINER_TYPES)
+
+
+@dataclass
+class Container:
+    """A STRUCT/ARRAY/MAP node on a leaf's path (``Container.java:10-27``)."""
+
+    name: str
+    path: str  # dotted lower-case path of ancestor containers
+    depth: int
+    kind: str  # STRUCT | ARRAY | MAP
+    optional: bool
+    is_element: bool = False  # created as array-element / map-value struct
+    pk_fields: list["Entry"] = field(default_factory=list)
+    map_keys: list["Entry"] = field(default_factory=list)
+
+    @property
+    def lname(self) -> str:
+        return self.name.lower()
+
+
+@dataclass
+class Entry:
+    """A primitive leaf + the containers entered to reach it
+    (``Entry.java:11-26``)."""
+
+    field_name: str
+    depth: int
+    dtype: T.DataType
+    nullable: bool
+    containers: tuple[Container, ...]
+    is_pk: bool = False
+    target_name: str = ""
+
+    @property
+    def path(self) -> str:
+        return ".".join(c.lname for c in self.containers)
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One output column of a target table.
+
+    ``source`` encodes how the executor materializes it:
+
+    * ``("key", field_or_None)``      — from the record key (None ⇒ the
+      primitive key itself)
+    * ``("chain_field", i, fname)``   — value of field ``fname`` of the
+      struct at main-chain index ``i`` (value-PK propagation)
+    * ``("map_key", i)``              — the exploded key of the MAP
+      container at chain index ``i``
+    * ``("leaf", steps)``             — field access ``steps`` (tuple of
+      names) below the main container; empty ⇒ the exploded item itself
+    * ``("coord", j)``                — j-th Kafka coordinate column
+    """
+
+    out_name: str
+    source: tuple
+    dtype: T.DataType
+    nullable: bool
+
+
+@dataclass
+class TableSpec:
+    """Compiled pipeline for one target table."""
+
+    table_name: str
+    full_table_name: str  # pre-rename, pre-case id used for buffering/routing
+    container_path: str  # dotted chain path (= reference's schema name)
+    chain: tuple[Container, ...]
+    columns: tuple[ColumnSpec, ...]
+    merge_keys: tuple[str, ...]  # all PK columns (key + value + propagated)
+    key_merge_keys: tuple[str, ...]  # PKs sourced from the record key only
+    # (deletes/upsert-replace scope on these: BufferedRecords.java:399-415)
+
+    @property
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.out_name, c.dtype, c.nullable) for c in self.columns]
+        )
+
+
+@dataclass
+class FlattenPlan:
+    """Full compiled plan for one (key_schema, value_schema, config)."""
+
+    tables: tuple[TableSpec, ...]
+    key_pk_columns: tuple[ColumnSpec, ...]
+    is_tombstone: bool  # value schema was null ⇒ delete-all-tables marker
+    config: FlattenConfig
+
+
+def _record_name(name: str | None, dtype: T.DataType | None) -> str:
+    """Root container name (``FlattenTransformation.java:744-757``):
+    suffix of the schema name after the last '.', lower-cased; 'root'
+    when unnamed or non-struct."""
+    if isinstance(dtype, T.StructType) and name:
+        return name.rsplit(".", 1)[-1].lower()
+    return "root"
+
+
+def _walk(
+    field_name: str,
+    dtype: T.DataType,
+    nullable: bool,
+    depth: int,
+    containers: tuple[Container, ...],
+    cfg: FlattenConfig,
+    out: list[Entry],
+    is_element: bool = False,
+) -> None:
+    """Recursive schema reversal (``FlattenTransformation.java:647-713``)."""
+    path = ".".join(c.lname for c in containers)
+    if isinstance(dtype, T.StructType):
+        cont = Container(field_name, path, depth, STRUCT, nullable, is_element)
+        containers = containers + (cont,)
+        # register configured propagate-PK primitive children on this
+        # struct container (FlattenTransformation.java:659-671)
+        for f in dtype.fields:
+            if not _is_container(f.dataType):
+                fq = (
+                    f"{path}.{field_name.lower()}.{f.name.lower()}"
+                    if path
+                    else f"{field_name.lower()}.{f.name.lower()}"
+                )
+                if any(s.lower() == fq for s in cfg.pk_propagate_value_fields):
+                    cont.pk_fields.append(
+                        Entry(f.name, depth + 1, f.dataType, f.nullable, containers)
+                    )
+        for f in dtype.fields:
+            _walk(f.name, f.dataType, f.nullable, depth + 1, containers, cfg, out)
+        return
+    if isinstance(dtype, T.ArrayType):
+        cont = Container(field_name, path, depth, ARRAY, nullable, is_element)
+        containers = containers + (cont,)
+        _walk(
+            field_name,
+            dtype.elementType,
+            dtype.containsNull,
+            depth + 1,
+            containers,
+            cfg,
+            out,
+            is_element=True,
+        )
+        return
+    if isinstance(dtype, T.MapType):
+        cont = Container(field_name, path, depth, MAP, nullable, is_element)
+        # propagate-PK match on the map key itself uses the quirky
+        # concatenated form "<path>.<fieldname>key"
+        # (FlattenTransformation.java:681-683)
+        fq = f"{path}.{field_name.lower()}key" if path else f"{field_name.lower()}key"
+        containers = containers + (cont,)
+        map_key = Entry("key", depth + 1, T.StringType(), False, containers)
+        cont.map_keys.append(map_key)
+        if any(s.lower() == fq for s in cfg.pk_propagate_value_fields):
+            cont.pk_fields.append(map_key)
+        _walk(
+            field_name,
+            dtype.valueType,
+            dtype.valueContainsNull,
+            depth + 1,
+            containers,
+            cfg,
+            out,
+            is_element=True,
+        )
+        return
+
+    # ---- primitive leaf -------------------------------------------------
+    entry = Entry(field_name, depth, dtype, nullable, containers)
+    if cfg.containers_whitelist:
+        cpath = ".".join(c.lname for c in containers)
+        if cpath not in {w.lower() for w in cfg.containers_whitelist}:
+            return  # pruned (FlattenTransformation.java:696-703)
+    last = containers[-1]
+    fq_leaf = f"{entry.path}.{field_name.lower()}"
+    if any(
+        p.field_name.lower() == field_name.lower() for p in last.pk_fields
+    ) or any(pk.lower() == fq_leaf for pk in cfg.pk_fields):
+        entry.is_pk = True  # FlattenTransformation.java:705-712
+    out.append(entry)
+
+
+def _extract_key_pks(
+    key_schema: T.DataType | None,
+    key_record_name: str | None,
+    cfg: FlattenConfig,
+) -> list[ColumnSpec]:
+    """Key-PK extraction (``FlattenTransformation.java:334-368``)."""
+    if cfg.pk_mode != "flatten" or key_schema is None:
+        return []
+    pks: list[ColumnSpec] = []
+    pk_set = {p.lower() for p in cfg.pk_fields}
+    root = _record_name(key_record_name, key_schema)
+    if not _is_container(key_schema):
+        # primitive key matches "<root>.key" → column "<root>_key"
+        if f"{root}.key" in pk_set:
+            name = cfg.rename_or_path(root, "key", True)
+            pks.append(ColumnSpec(name, ("key", None), key_schema, False))
+    elif isinstance(key_schema, T.StructType):
+        for f in key_schema.fields:
+            if f"{root}.{f.name.lower()}" in pk_set:
+                name = cfg.rename_or_path(root, f.name, True)
+                pks.append(ColumnSpec(name, ("key", f.name), f.dataType, f.nullable))
+    return pks
+
+
+_COORD_TYPES = (
+    T.StringType(),
+    T.IntegerType(),
+    T.LongType(),
+    T.TimestampType(),
+    T.StringType(),
+)
+
+
+def compile_flatten_plan(
+    key_schema: T.DataType | None,
+    value_schema: T.StructType | None,
+    cfg: FlattenConfig,
+    value_record_name: str | None = None,
+    key_record_name: str | None = None,
+) -> FlattenPlan:
+    """Compile (key_schema, value_schema, config) → FlattenPlan.
+
+    Equivalent of ``getMainProcessingInstructions``
+    (``FlattenTransformation.java:135-330``) but emitting declarative
+    TableSpecs instead of closure chains.
+    """
+    key_pks = _extract_key_pks(key_schema, key_record_name, cfg)
+    if cfg.pk_mode == "flatten" and cfg.delete_enabled and key_schema is not None and not key_pks:
+        raise ValueError(
+            "delete_enabled requires at least one pk.fields entry matching "
+            "the key schema (FlattenTransformation.java:166-175)"
+        )
+
+    # Tombstone: null value schema ⇒ delete marker for all topic tables
+    # (FlattenTransformation.java:298-314)
+    if value_schema is None:
+        if cfg.delete_enabled and key_pks:
+            return FlattenPlan((), tuple(key_pks), True, cfg)
+        return FlattenPlan((), (), False, cfg)
+
+    if not isinstance(value_schema, T.StructType):
+        raise TypeError("flatten requires a StructType value schema")
+
+    root = _record_name(value_record_name, value_schema)
+    entries: list[Entry] = []
+    _walk(root, value_schema, False, 0, (), cfg, entries)
+
+    # ---- group by main container (FlattenTransformation.java:149-157) ---
+    groups: dict[tuple[int, ...], tuple[tuple[Container, ...], list[Entry]]] = {}
+    for e in entries:
+        last_am = None
+        for i, c in enumerate(e.containers):
+            if c.kind in (ARRAY, MAP):
+                last_am = i
+        cut = (last_am + 1) if last_am is not None else 1
+        chain = e.containers[:cut]
+        gid = tuple(id(c) for c in chain)
+        groups.setdefault(gid, (chain, []))[1].append(e)
+
+    tables: list[TableSpec] = []
+    topic_part = cfg.topic.replace(".", cfg.delimiter).lower()
+    for chain, group in groups.values():
+        cols: list[ColumnSpec] = []
+        merge_keys: list[str] = []
+        seen: set[str] = set()
+
+        # 1. key PKs first (FlattenTransformation.java:199-201)
+        for kp in key_pks:
+            cols.append(kp)
+            seen.add(kp.out_name.lower())
+            merge_keys.append(kp.out_name)
+
+        # 2. leaf entries in walk order, dup/PK disambiguation
+        #    (FlattenTransformation.java:232-251)
+        lower_counts: dict[str, int] = {}
+        for e in group:
+            lower_counts[e.field_name.lower()] = (
+                lower_counts.get(e.field_name.lower(), 0) + 1
+            )
+        for e in group:
+            full = lower_counts[e.field_name.lower()] > 1 or e.is_pk
+            target = cfg.rename_or_path(e.path, e.field_name, full)
+            e.target_name = target
+            nullable = e.nullable or e.containers[-1].optional
+            steps = _leaf_steps(chain, e)
+            cols.append(ColumnSpec(target, ("leaf", steps), e.dtype, nullable))
+            seen.add(target.lower())
+            if e.is_pk:
+                merge_keys.append(target)
+
+        # 3. propagated map keys on the chain
+        #    (FlattenTransformation.java:262-272)
+        for i, c in enumerate(chain):
+            for mk in c.map_keys:
+                target = cfg.rename_or_path(mk.path, mk.field_name, True)
+                if target.lower() in seen or not cols:
+                    continue
+                cols.append(ColumnSpec(target, ("map_key", i), T.StringType(), True))
+                seen.add(target.lower())
+
+        # 4. propagated value PKs on the chain — all become merge keys
+        #    (FlattenTransformation.java:276-290)
+        for i, c in enumerate(chain):
+            for pf in c.pk_fields:
+                target = cfg.rename_or_path(pf.path, pf.field_name, True)
+                merge_keys.append(target)
+                if target.lower() in seen or not cols:
+                    continue
+                if pf.field_name == "key" and c.kind == MAP:
+                    src = ("map_key", i)
+                else:
+                    src = ("chain_field", i, pf.field_name)
+                cols.append(ColumnSpec(target, src, pf.dtype, True))
+                seen.add(target.lower())
+
+        # 5. coordinates (FlattenTransformation.java:100-113, 715-721)
+        if cfg.coordinates and cols:
+            for j, cname in enumerate(cfg.coordinate_fields):
+                cols.append(
+                    ColumnSpec(
+                        cfg.case(cname), ("coord", j), _COORD_TYPES[j], j == 3
+                    )
+                )
+
+        container_path = ".".join(c.lname for c in chain)
+        full_table_name = (
+            topic_part
+            + cfg.delimiter
+            + container_path.replace(".", cfg.delimiter)
+        )
+        renamed = cfg.rename_tables.get(full_table_name, full_table_name)
+        # dedup merge keys, preserve order
+        mk_seen: set[str] = set()
+        mks = tuple(
+            m for m in merge_keys if not (m.lower() in mk_seen or mk_seen.add(m.lower()))
+        )
+        tables.append(
+            TableSpec(
+                table_name=cfg.case(renamed),
+                full_table_name=full_table_name,
+                container_path=container_path,
+                chain=chain,
+                columns=tuple(cols),
+                merge_keys=mks,
+                key_merge_keys=tuple(k.out_name for k in key_pks),
+            )
+        )
+
+    return FlattenPlan(tuple(tables), tuple(key_pks), False, cfg)
+
+
+def _leaf_steps(chain: tuple[Container, ...], e: Entry) -> tuple[str, ...]:
+    """Field-access steps from the main-container value to the leaf.
+
+    Residual containers below the main chain are all STRUCTs (the
+    chain ends at the LAST array/map).  An ``is_element`` struct is
+    the exploded item itself — no field access.  An empty tuple means
+    the exploded item IS the leaf (array/map of primitives,
+    ``FlattenTransformation.java:505-520, 545-555``).
+    """
+    residual = e.containers[len(chain) :]
+    steps = [c.name for c in residual if not c.is_element]
+    if e.containers == chain and chain[-1].kind in (ARRAY, MAP):
+        return ()  # the item itself
+    steps.append(e.field_name)
+    return tuple(steps)

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing runs on ``local[N]``; the same config block is what
+we'd ship to a real cluster via ``spark-submit --py-files`` (AQE on,
+shuffle partitions sized to cores, Arrow enabled for the pandas-UDF
+slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka_connect_jdbc_flatten_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``.  Shuffle
+    partitions default to the core count — on a real cluster this is
+    instead sized to ``executors * cores * 2-3`` and AQE coalesces
+    down at runtime.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        default_parts = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        default_parts = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = default_parts
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
