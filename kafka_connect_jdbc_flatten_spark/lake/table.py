@@ -1,0 +1,421 @@
+"""LakeTable — minimal lake-table format with atomic snapshot commits.
+
+The reference gets transactionality from JDBC (`connection.commit()`,
+``JdbcDbWriter.java:224``) and table DDL from auto-create/evolve
+(``DbStructure.java:107-234``).  On Spark the idiomatic target is
+Iceberg/Delta; those jars aren't available in this sandbox, so this
+module implements the minimal subset the engine needs with the same
+guarantees — it is deliberately shaped like Iceberg so a production
+deployment swaps it for ``df.writeTo(...)`` / ``MERGE INTO`` with no
+plan changes:
+
+* **Snapshot isolation / atomic commit** — every commit writes a new
+  immutable manifest ``_manifest/v{N}.json`` and atomically renames a
+  pointer file ``_manifest/CURRENT``.  Readers resolve CURRENT once;
+  a crash mid-commit leaves the old snapshot intact (rename is atomic
+  on POSIX; on object stores this maps to Iceberg's metadata swap).
+* **Hash-bucket layout** — rows are bucketed by
+  ``pmod(xxhash64(key_cols), n_buckets)`` (same idea as Iceberg's
+  ``bucket(N, conv_id)`` partition transform).  MERGE rewrites only
+  the buckets a batch touches (copy-on-write), so write amplification
+  is bounded by batch key spread, not table size.  At 100 TB you size
+  ``n_buckets`` so a bucket ≈ a few GB; skewed hot keys spread with
+  the salt column handled upstream (``operators.skew``).
+* **Additive schema evolution** — new nullable columns append to the
+  manifest schema; old files are read with the merged schema (missing
+  columns → null).  Non-nullable additions without defaults are
+  rejected, mirroring ``DbStructure.java:177-187``.
+* **Exactly-once sink** — the manifest records
+  ``last_committed_batch_id`` per writer; re-delivery of an already
+  committed micro-batch (Structured Streaming ``foreachBatch`` replay
+  after crash) is detected and skipped, giving exactly-once on top of
+  at-least-once delivery.
+
+Single-writer per table (one streaming query), like one Connect sink
+task per table set; manifests are versioned so a concurrent-commit
+race fails loudly rather than silently losing a snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "__bucket"
+SEQ_COL = "__seq"
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._manifest_dir = os.path.join(self.path, "_manifest")
+        self._data_dir = os.path.join(self.path, "data")
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        """CREATE TABLE — auto-create analogue (``DbStructure.java:107-121``)."""
+        t = cls(spark, path)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        if os.path.exists(os.path.join(t._manifest_dir, "CURRENT")):
+            raise FileExistsError(f"table already exists at {path}")
+        manifest = {
+            "version": 0,
+            "schema": schema.json(),
+            "key_cols": list(key_cols),
+            "n_buckets": n_buckets,
+            "files": {},  # bucket(str) -> [file paths]
+            "last_committed_batch_id": {},  # writer_id -> batch_id
+            "properties": properties or {},
+            "snapshots": [],
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @classmethod
+    def create_if_not_exists(cls, spark, path, schema, key_cols, n_buckets=16):
+        t = cls(spark, path)
+        if os.path.exists(os.path.join(t._manifest_dir, "CURRENT")):
+            return t
+        return cls.create(spark, path, schema, key_cols, n_buckets)
+
+    @classmethod
+    def exists(cls, spark, path) -> bool:
+        return os.path.exists(os.path.join(path, "_manifest", "CURRENT"))
+
+    # ----------------------------------------------------------- manifests
+    def _current_version(self) -> int:
+        with open(os.path.join(self._manifest_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def manifest(self) -> dict:
+        v = self._current_version()
+        with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        v = manifest["version"]
+        mpath = os.path.join(self._manifest_dir, f"v{v}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, mpath)
+        cur_tmp = os.path.join(self._manifest_dir, f"CURRENT.tmp.{uuid.uuid4().hex}")
+        with open(cur_tmp, "w") as f:
+            f.write(str(v))
+        os.rename(cur_tmp, os.path.join(self._manifest_dir, "CURRENT"))
+
+    def _commit(self, base_version: int, manifest: dict) -> None:
+        """Optimistic-concurrency commit: fail if someone moved CURRENT."""
+        if self._current_version() != base_version:
+            raise ConcurrentCommitError(
+                f"table {self.path} moved past v{base_version}"
+            )
+        manifest["version"] = base_version + 1
+        manifest["snapshots"] = (manifest.get("snapshots") or [])[-100:]
+        manifest["snapshots"].append(
+            {"version": manifest["version"], "wall_ms": int(time.time() * 1000)}
+        )
+        self._write_manifest(manifest)
+
+    # --------------------------------------------------------------- reads
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.manifest()["key_cols"]
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read; ``buckets`` restricts to those partitions
+        (partition pruning — only the touched buckets' files are scanned)."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+        )
+        files = []
+        for b, fl in m["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(fl)
+        if not files:
+            return self.spark.createDataFrame([], read_schema)
+        # explicit schema ⇒ old files lacking newly-evolved columns read
+        # them as null (additive evolution)
+        return self.spark.read.schema(read_schema).parquet(*files)
+
+    def last_batch_id(self, writer_id: str) -> int:
+        return self.manifest()["last_committed_batch_id"].get(writer_id, -1)
+
+    # -------------------------------------------------------------- writes
+    def _bucket_expr(self, key_cols=None):
+        m = self.manifest()
+        kc = key_cols or m["key_cols"]
+        return F.pmod(F.xxhash64(*[F.col(c) for c in kc]), F.lit(m["n_buckets"])).cast(
+            "int"
+        )
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(BUCKET_COL, self._bucket_expr())
+
+    def _write_bucket_files(self, df: DataFrame, commit_id: str) -> dict[str, list[str]]:
+        """Write new state for the touched buckets; returns bucket→files.
+
+        The bucket id is duplicated into a partition column so the
+        directory layout is per-bucket, while the data column survives
+        in the parquet files (manifest reads use explicit file lists,
+        which bypass Hive partition discovery).
+        """
+        out_dir = os.path.join(self._data_dir, f"commit-{commit_id}")
+        part_col = BUCKET_COL + "_p"
+        (
+            df.withColumn(part_col, F.col(BUCKET_COL))
+            .repartition(F.col(BUCKET_COL))
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{part_col}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            new_files[b] = [
+                os.path.join(bdir, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+        return new_files
+
+    def overwrite(self, df: DataFrame, batch_id: int | None = None, writer_id: str = "default") -> None:
+        """Replace the whole table (bootstrap/backfill path)."""
+        base = self._current_version()
+        m = self.manifest()
+        commit_id = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(self.with_bucket(df), commit_id)
+        m["files"] = new_files
+        if batch_id is not None:
+            m["last_committed_batch_id"][writer_id] = batch_id
+        self._commit(base, m)
+
+    def merge(
+        self,
+        batch: DataFrame,
+        mode: str = "lww",
+        scope_keys: list[str] | None = None,
+        seq_col: str | None = SEQ_COL,
+        delete_col: str | None = None,
+        batch_id: int | None = None,
+        writer_id: str = "default",
+    ) -> dict:
+        """MERGE a (pre-flattened) batch into the table.
+
+        Modes:
+
+        * ``lww`` — row-level MERGE keyed on ``key_cols``: union the
+          touched buckets' current rows with the batch and keep the
+          highest-``seq_col`` row per key; rows whose winning image
+          has ``delete_col = true`` are dropped (tombstone,
+          ``BufferedRecords.java:91-103``).  Idempotent and
+          out-of-order-safe: re-applying any prefix of the changelog
+          can never regress a key (MERGE condition ≈
+          ``src.seq >= tgt.seq``).
+        * ``replace`` — whole-image replacement, the reference's
+          flatten-upsert (delete-then-insert,
+          ``BufferedRecords.java:264-270, 377-415``): every existing
+          row whose ``scope_keys`` appear in the batch is deleted,
+          then the batch rows (minus tombstoned scopes) are inserted.
+          Child rows of a shrunk array disappear, matching the
+          1/1/1 upsert-replay golden
+          (``JdbcSinkTaskTestPostgresArray.java:1708-1874``).
+
+        Exactly-once: if ``batch_id`` ≤ the manifest's recorded id for
+        ``writer_id`` the merge is a no-op (foreachBatch re-delivery).
+        """
+        base = self._current_version()
+        m = self.manifest()
+        if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
+            return {"skipped": True, "reason": "batch already committed"}
+
+        table_cols = [f.name for f in self.schema.fields]
+        scope = scope_keys or m["key_cols"]
+
+        batch = batch.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in scope]), F.lit(m["n_buckets"])).cast("int"),
+        )
+        # Which buckets does this batch touch?  Tiny aggregate (≤ n_buckets
+        # rows) — the lake-format analogue of partition pruning.
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            if batch_id is not None:
+                m["last_committed_batch_id"][writer_id] = batch_id
+                self._commit(base, m)
+            return {"skipped": True, "reason": "empty batch"}
+
+        old = self.read(buckets=touched)
+
+        if mode == "replace":
+            # keys present in the batch (including tombstoned scopes)
+            batch_scopes = batch.select(*scope, BUCKET_COL).distinct()
+            keep_old = old.join(batch_scopes.select(*scope), on=scope, how="left_anti")
+            inserts = batch
+            if delete_col is not None and delete_col in batch.columns:
+                inserts = inserts.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+            new_state = keep_old.select(*table_cols, BUCKET_COL).unionByName(
+                inserts.select(*table_cols, BUCKET_COL)
+            )
+        elif mode == "lww":
+            keys = m["key_cols"]
+            sc = seq_col or SEQ_COL
+            b = batch
+            if delete_col is None or delete_col not in b.columns:
+                b = b.withColumn("__is_delete", F.lit(False))
+            else:
+                b = b.withColumn(
+                    "__is_delete", F.coalesce(F.col(delete_col), F.lit(False))
+                )
+            o = old.withColumn("__is_delete", F.lit(False))
+            allrows = o.select(*table_cols, BUCKET_COL, "__is_delete").unionByName(
+                b.select(*table_cols, BUCKET_COL, "__is_delete")
+            )
+            from ..operators.lww import lww_reduce
+
+            winner = lww_reduce(allrows, keys, [sc])
+            new_state = winner.filter(~F.col("__is_delete")).drop("__is_delete")
+        else:
+            raise ValueError(f"unknown merge mode {mode!r}")
+
+        commit_id = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(new_state, commit_id)
+        files = dict(m["files"])
+        for tb in touched:
+            files.pop(str(tb), None)
+        for b_, fl in new_files.items():
+            files[b_] = fl
+        m["files"] = files
+        if batch_id is not None:
+            m["last_committed_batch_id"][writer_id] = batch_id
+        self._commit(base, m)
+        return {
+            "skipped": False,
+            "touched_buckets": len(touched),
+            "version": m["version"],
+        }
+
+    def delete_where_keys(
+        self,
+        keys_df: DataFrame,
+        scope_keys: list[str],
+        batch_id: int | None = None,
+        writer_id: str = "default",
+    ) -> dict:
+        """Tombstone apply: delete every row matching the key set —
+        the reference wipes matching rows from all topic tables
+        (``JdbcDbWriter.java:130-198``)."""
+        m = self.manifest()
+        base = self._current_version()
+        if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
+            return {"skipped": True, "reason": "batch already committed"}
+        table_cols = [f.name for f in self.schema.fields]
+        keys_df = keys_df.select(*scope_keys).distinct().withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in scope_keys]), F.lit(m["n_buckets"])
+            ).cast("int"),
+        )
+        touched = [r[0] for r in keys_df.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return {"skipped": True, "reason": "no keys"}
+        old = self.read(buckets=touched)
+        new_state = old.join(
+            keys_df.select(*scope_keys), on=scope_keys, how="left_anti"
+        ).select(*table_cols, BUCKET_COL)
+        commit_id = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(new_state, commit_id)
+        files = dict(m["files"])
+        for tb in touched:
+            files.pop(str(tb), None)
+        for b_, fl in new_files.items():
+            files[b_] = fl
+        m["files"] = files
+        if batch_id is not None:
+            m["last_committed_batch_id"][writer_id] = batch_id
+        self._commit(base, m)
+        return {"skipped": False, "touched_buckets": len(touched)}
+
+    # ----------------------------------------------------------- evolution
+    def evolve_schema(self, new_schema: T.StructType) -> list[str]:
+        """Additive evolution (auto-evolve, ``DbStructure.java:127-234``).
+
+        Extra existing columns are tolerated; missing-in-table columns
+        are added if nullable, else rejected (same rule as
+        ``DbStructure.java:177-187``).  Case-insensitive matching as in
+        ``DbStructure.java:236-281``.
+        """
+        base = self._current_version()
+        m = self.manifest()
+        cur = T.StructType.fromJson(json.loads(m["schema"]))
+        have = {f.name.lower() for f in cur.fields}
+        added = []
+        fields = list(cur.fields)
+        for f in new_schema.fields:
+            if f.name.lower() in have:
+                continue
+            if not f.nullable:
+                raise SchemaEvolutionError(
+                    f"cannot add non-optional column {f.name!r} without a "
+                    "default (DbStructure.java:177-187)"
+                )
+            fields.append(f)
+            added.append(f.name)
+        if added:
+            m["schema"] = T.StructType(fields).json()
+            self._commit(base, m)
+        return added
+
+    # -------------------------------------------------------------- maint
+    def vacuum(self) -> int:
+        """Delete data files unreferenced by the current snapshot."""
+        m = self.manifest()
+        live = {os.path.abspath(p) for fl in m["files"].values() for p in fl}
+        removed = 0
+        for root, _dirs, fs in os.walk(self._data_dir):
+            for f in fs:
+                p = os.path.abspath(os.path.join(root, f))
+                if p.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed += 1
+        # drop empty commit dirs
+        for entry in os.listdir(self._data_dir):
+            d = os.path.join(self._data_dir, entry)
+            if os.path.isdir(d) and not any(os.scandir(d)):
+                shutil.rmtree(d, ignore_errors=True)
+        return removed

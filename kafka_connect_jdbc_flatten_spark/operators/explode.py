@@ -33,6 +33,7 @@ def flatten_table(
     value_col: str = "value",
     key_col: str = "key",
     carry_cols: tuple[str, ...] = (),
+    drop_null_items: bool = True,
 ) -> DataFrame:
     """Produce the flat DataFrame for one target table.
 
@@ -41,12 +42,20 @@ def flatten_table(
     array → ``explode_outer``, map → ``explode_outer`` of entries with
     the key captured for ``<path>_key`` columns
     (``FlattenTransformation.java:449-472``).
+
+    ``drop_null_items`` drops rows whose exploded item is null — the
+    reference emits no child record for a null/empty array or map
+    (its flatMap over items yields nothing,
+    ``FlattenTransformation.java:449-456``); ``explode_outer`` instead
+    emits one null row, which we filter.  We still use the *outer*
+    explode so sibling generators don't suppress each other's parents.
     """
     cur: Column = F.col(value_col)
     out = df
     # per-chain-index captured expressions
     map_key_cols: dict[int, Column] = {}
     chain_exprs: dict[int, Column] = {}
+    null_guards: list[Column] = []
 
     gen = 0
     chain_exprs[0] = cur
@@ -62,13 +71,21 @@ def flatten_table(
             gen += 1
             out = out.select("*", F.explode_outer(src).alias(alias))
             cur = F.col(alias)
+            null_guards.append(cur.isNotNull())
         elif cont.kind == MAP:
             kalias, valias = f"__k{gen}", f"__v{gen}"
             gen += 1
             out = out.select("*", F.explode_outer(src).alias(kalias, valias))
             map_key_cols[i] = F.col(kalias)
             cur = F.col(valias)
+            null_guards.append(F.col(kalias).isNotNull())
         chain_exprs[i] = cur
+
+    if drop_null_items and null_guards:
+        guard = null_guards[0]
+        for g in null_guards[1:]:
+            guard = guard & g
+        out = out.filter(guard)
 
     select: list[Column] = []
     for c in spec.columns:
@@ -101,6 +118,7 @@ def flatten_records(
     value_col: str = "value",
     key_col: str = "key",
     carry_cols: tuple[str, ...] = (),
+    drop_null_items: bool = True,
 ) -> dict[str, DataFrame]:
     """Flatten a changelog micro-batch into {table_name: flat DataFrame}.
 
@@ -111,6 +129,8 @@ def flatten_records(
     independent job that can run concurrently).
     """
     return {
-        spec.table_name: flatten_table(df, spec, value_col, key_col, carry_cols)
+        spec.table_name: flatten_table(
+            df, spec, value_col, key_col, carry_cols, drop_null_items
+        )
         for spec in plan.tables
     }

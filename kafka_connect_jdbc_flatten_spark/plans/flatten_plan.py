@@ -337,6 +337,14 @@ def compile_flatten_plan(
             full = lower_counts[e.field_name.lower()] > 1 or e.is_pk
             target = cfg.rename_or_path(e.path, e.field_name, full)
             e.target_name = target
+            if target.lower() in seen:
+                # the reference's SchemaBuilder.field throws on duplicate
+                # field names — surface the same config error eagerly
+                raise ValueError(
+                    f"column name collision {target!r} in table for container "
+                    f"path {'.'.join(c.lname for c in chain)!r}; use "
+                    "rename_fields to disambiguate"
+                )
             nullable = e.nullable or e.containers[-1].optional
             steps = _leaf_steps(chain, e)
             cols.append(ColumnSpec(target, ("leaf", steps), e.dtype, nullable))

@@ -56,11 +56,9 @@ def test_array_of_struct_explode(spark):
     assert [r.firstname for r in parent] == ["John", "Jane"]
     assert [r.kafkaoffset for r in parent] == [42, 43]
     child = out["atopic_person_address"].orderBy("kafkaoffset", "number").collect()
-    # explode_outer: Jane (null array) still yields a row with null leaves,
-    # matching the reference which emits no child record — we filter nulls
-    # at apply time via the all-leaf-null guard; here assert raw explode
-    streets = [(r.street, r.number) for r in child]
-    assert ("Main st", 1) in streets and ("Side st", 2) in streets
+    # Jane's null address array yields NO child row (reference flatMap
+    # semantics, FlattenTransformation.java:449-456)
+    assert [(r.street, r.number) for r in child] == [("Main st", 1), ("Side st", 2)]
 
 
 def test_map_of_struct_key_column(spark):

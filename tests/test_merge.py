@@ -1,0 +1,182 @@
+"""CDC apply tests: whole-image upsert replacement, tombstones,
+idempotent re-apply (exactly-once), schema evolution.
+
+Golden behavior ports:
+- upsert replay leaves exactly 1 row per key in every table incl.
+  shrunk child arrays (JdbcSinkTaskTestPostgresArray.java:1708-1874)
+- tombstone wipes the key from all topic tables
+  (JdbcSinkTaskTestPostgresArrayDelete.java:82-251)
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_jdbc_flatten_spark.operators.merge import CdcApplier
+from kafka_connect_jdbc_flatten_spark.plans import compile_flatten_plan
+from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+    CHANGELOG_SCHEMA,
+    TRANSCRIPT_KEY_SCHEMA,
+    TRANSCRIPT_VALUE_SCHEMA,
+    transcript_flatten_config,
+)
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def env(conv, turns, op, seq, before=None):
+    """Build one changelog row (python tuple form)."""
+    val = None if op == "d" else (conv, [(i, r, t, tool, TS) for (i, r, t, tool) in turns])
+    bef = None if before is None else (conv, [(i, r, t, tool, TS) for (i, r, t, tool) in before])
+    return (
+        "transcripts", 0, seq, TS, "CreateTime", (conv,), bef, val, op, seq, TS,
+    )
+
+
+@pytest.fixture()
+def plan():
+    cfg = transcript_flatten_config()
+    return compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        cfg,
+        value_record_name="Conversation",
+        key_record_name="ConversationKey",
+    )
+
+
+def mkdf(spark, rows):
+    return spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+
+
+def test_plan_shape(plan):
+    names = sorted(t.table_name for t in plan.tables)
+    assert names == ["transcripts_conversation", "transcripts_conversation_turns"]
+    turns = next(t for t in plan.tables if t.table_name.endswith("_turns"))
+    assert [c.out_name for c in turns.columns] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    assert turns.merge_keys == ("conv_id", "turn_idx")
+    assert turns.key_merge_keys == ("conv_id",)
+
+
+def test_upsert_whole_image_replacement(spark, plan, tmp_path):
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    # image 1: 3 turns; image 2: 1 turn (shrunk); image 3: 2 turns
+    b1 = mkdf(spark, [env("c1", [(0, "user", "hi", ""), (1, "assistant", "hello", ""), (2, "user", "bye", "")], "c", 1)])
+    ap.apply_batch(b1, batch_id=0)
+    assert ap.read("transcripts_conversation_turns").count() == 3
+    b2 = mkdf(spark, [env("c1", [(0, "user", "hi2", "")], "u", 2)])
+    ap.apply_batch(b2, batch_id=1)
+    turns = ap.read("transcripts_conversation_turns").collect()
+    assert len(turns) == 1  # shrunk child array fully replaced
+    assert turns[0].text == "hi2"
+    assert ap.read("transcripts_conversation").count() == 1
+    b3 = mkdf(spark, [env("c1", [(0, "user", "hi3", ""), (1, "assistant", "yo", "t")], "u", 3)])
+    ap.apply_batch(b3, batch_id=2)
+    rows = {r.turn_idx: r for r in ap.read("transcripts_conversation_turns").collect()}
+    assert len(rows) == 2 and rows[1].tool == "t"
+
+
+def test_lww_within_batch(spark, plan, tmp_path):
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    batch = mkdf(
+        spark,
+        [
+            env("c1", [(0, "user", "old", "")], "c", 1),
+            env("c1", [(0, "user", "new", ""), (1, "assistant", "r", "")], "u", 2),
+            env("c2", [(0, "user", "x", "")], "c", 3),
+        ],
+    )
+    ap.apply_batch(batch, batch_id=0)
+    turns = ap.read("transcripts_conversation_turns")
+    assert turns.count() == 3
+    assert turns.filter("conv_id = 'c1' and turn_idx = 0").collect()[0].text == "new"
+
+
+def test_tombstone_wipes_all_tables(spark, plan, tmp_path):
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    ap.apply_batch(
+        mkdf(spark, [env("c1", [(0, "u", "a", "")], "c", 1), env("c2", [(0, "u", "b", "")], "c", 2)]),
+        batch_id=0,
+    )
+    ap.apply_batch(mkdf(spark, [env("c1", None, "d", 3)]), batch_id=1)
+    for t in ("transcripts_conversation", "transcripts_conversation_turns"):
+        rows = ap.read(t).collect()
+        assert {r.conv_id for r in rows} == {"c2"}, t
+
+
+def test_insert_and_delete_same_batch(spark, plan, tmp_path):
+    # delete wins when it is the latest op for the key
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    batch = mkdf(
+        spark,
+        [env("c1", [(0, "u", "a", "")], "c", 1), env("c1", None, "d", 2)],
+    )
+    ap.apply_batch(batch, batch_id=0)
+    assert ap.read("transcripts_conversation_turns").count() == 0
+    # and the reverse order: insert after delete
+    batch2 = mkdf(
+        spark,
+        [env("c2", None, "d", 3), env("c2", [(0, "u", "z", "")], "c", 4)],
+    )
+    ap.apply_batch(batch2, batch_id=1)
+    assert ap.read("transcripts_conversation_turns").count() == 1
+
+
+def test_exactly_once_batch_replay(spark, plan, tmp_path):
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    b = mkdf(spark, [env("c1", [(0, "u", "a", "")], "c", 1)])
+    ap.apply_batch(b, batch_id=0)
+    v1 = ap.tables["transcripts_conversation_turns"].manifest()["version"]
+    stats = ap.apply_batch(b, batch_id=0)  # re-delivery after crash
+    assert stats["transcripts_conversation_turns"]["skipped"]
+    v2 = ap.tables["transcripts_conversation_turns"].manifest()["version"]
+    assert v1 == v2
+    assert ap.read("transcripts_conversation_turns").count() == 1
+
+
+def test_idempotent_same_content_reapply(spark, plan, tmp_path):
+    # even WITHOUT batch-id dedup, replace-merge of identical content
+    # converges to the same state (idempotent apply)
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    b = mkdf(spark, [env("c1", [(0, "u", "a", ""), (1, "a", "b", "")], "c", 1)])
+    ap.apply_batch(b, batch_id=0)
+    before = sorted(map(tuple, ap.read("transcripts_conversation_turns").collect()))
+    ap.apply_batch(b, batch_id=1)  # different batch id, same content
+    after = sorted(map(tuple, ap.read("transcripts_conversation_turns").collect()))
+    assert before == after
+
+
+def test_schema_evolution_additive(spark, plan, tmp_path):
+    from kafka_connect_jdbc_flatten_spark.lake.table import (
+        LakeTable,
+        SchemaEvolutionError,
+    )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("id", T.LongType(), False)]),
+        ["id"],
+        n_buckets=2,
+    )
+    t.overwrite(spark.range(3))
+    added = t.evolve_schema(
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("extra", T.StringType(), True),
+            ]
+        )
+    )
+    assert added == ["extra"]
+    # old files read with nulls for the new column
+    rows = t.read().orderBy("id").collect()
+    assert [r.extra for r in rows] == [None, None, None]
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(
+            T.StructType([T.StructField("req", T.StringType(), False)])
+        )
