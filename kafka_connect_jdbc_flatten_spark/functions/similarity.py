@@ -1,0 +1,246 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the embedding table; scores via JVM-side
+  ``zip_with``/``aggregate`` fold in float64; per-query top-k via a
+  window over the query id.  At 100 TB the scan dominates and is
+  embarrassingly parallel; the final top-k shuffle moves only k rows
+  per query per partition (rank pushes partial top-k map-side via the
+  window's sort-based aggregation).
+* ``lsh_topk`` — the scale path: random-hyperplane (sign) LSH with
+  deterministic md5-derived planes; candidates = points whose bucket
+  matches the query's in ≥1 of ``n_tables`` hash tables, then exact
+  re-rank.  Recall is tested against brute force (see tests); it is
+  approximate by construction so it carries no SQL oracle.
+
+Distance math notes: scores are computed in float64 and rounded to
+4 dp so the DuckDB oracle (which may fold in a different order)
+hash-matches; ties broken by vec_id ascending for a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query.  Returns
+    (query_id, vec_id, score, rank), rank 1..k, score rounded.
+
+    The query side is broadcast (no shuffle of the big table); the
+    window ranks within query_id — one exchange keyed on query_id,
+    k·|queries| output rows.
+    """
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col), F.col(query_vec_col)), round_dp
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def brute_force_topk_sql(
+    table: str,
+    queries_sql: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB oracle: same math in float64 with identical rounding and
+    tie-break.  ``queries_sql`` must yield (query_id, query_vec)."""
+    dot_ = f"list_dot_product({vec_col}::DOUBLE[], query_vec::DOUBLE[])"
+    na = f"sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))"
+    nb = "sqrt(list_dot_product(query_vec::DOUBLE[], query_vec::DOUBLE[]))"
+    return f"""
+WITH q AS ({queries_sql}),
+scored AS (
+  SELECT q.query_id, t.{id_col},
+         round({dot_} / ({na} * {nb}), {round_dp}) AS score
+  FROM {table} t CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, {id_col}, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, {id_col} ASC) AS rank
+  FROM scored
+)
+SELECT query_id, {id_col}, score, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-duplicate
+    detection).  Exact all-pairs — quadratic, fine for a dedup pass
+    over a candidate block; at full scale route candidates through
+    ``lsh_topk`` buckets first and reuse this as the verify stage."""
+    a = embeddings.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), round_dp).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> str:
+    dot_ = f"list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])"
+    na = f"sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))"
+    return f"""
+SELECT a.{id_col} AS id1, b.{id_col} AS id2,
+       round({dot_} / ({na} * {nb}), {round_dp}) AS cos
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE round({dot_} / ({na} * {nb}), {round_dp}) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------- LSH (ANN)
+def _plane_sign(dim_idx: int, plane_idx: int, table_idx: int) -> int:
+    """Deterministic ±1 hyperplane component from md5 — no RNG state."""
+    import hashlib
+
+    h = hashlib.md5(f"plane:{table_idx}:{plane_idx}:{dim_idx}".encode()).digest()
+    return 1 if (h[0] & 1) == 1 else -1
+
+
+def _bucket_expr(
+    vec: Column, dim: int, n_planes: int, table_idx: int
+) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane, planes are ±1
+    vectors (a Rademacher projection — classic SRP-LSH).
+
+    Each projection is a zip_with/aggregate fold against a LITERAL
+    plane array — a compact expression Janino can codegen, vs the
+    unrolled 64-term sum which forces interpreted fallback."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(
+            *[
+                F.lit(float(_plane_sign(d, p, table_idx)))
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.shiftleft((proj > 0).cast("long"), p)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH candidate generation + exact rerank.
+
+    Candidates = vectors sharing a bucket with the query in ANY of the
+    ``n_tables`` independent hash tables.  The bucket computation is a
+    per-row expression; the candidate join is an equi-join on
+    (table_idx, bucket) — broadcastable because the query side is
+    n_tables·|queries| rows.  Exact cosine only on candidates.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    e_buckets = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            _bucket_expr(F.col(vec_col), dim, n_planes, t).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    q_buckets = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        *[
+            _bucket_expr(F.col(query_vec_col), dim, n_planes, t).alias(f"qb{t}")
+            for t in range(n_tables)
+        ],
+    )
+    match = None
+    for t in range(n_tables):
+        m = F.col(f"b{t}") == F.col(f"qb{t}")
+        match = m if match is None else (match | m)
+    cand = e_buckets.join(F.broadcast(q_buckets), match).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_dp).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

@@ -51,6 +51,11 @@ def lww_reduce_agg(
     the combiner collapses duplicates before the shuffle.
     """
     others = [c for c in df.columns if c not in keys]
-    packed = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in others])
+    # order cols under reserved aliases so a column that is both an
+    # order col and a payload col doesn't make getField ambiguous
+    packed = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        *[F.col(c) for c in others],
+    )
     agg = df.groupBy(*keys).agg(F.max(packed).alias("__w"))
     return agg.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in others])
