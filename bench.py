@@ -1,0 +1,144 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "events_per_sec": ..., "cpus": ...}
+
+Headline = sustained CDC change-event MERGE-apply throughput: the
+synthetic binlog fixture (one envelope per event, growing transcript
+prefixes, tombstones) is materialized to parquet UNTIMED, then the
+timed section replays it through flatten + LWW + whole-image MERGE in
+seq-ordered micro-batches — the BASELINE.json metric shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_MICROBATCHES = int(os.environ.get("BENCH_MICROBATCHES", "4"))
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .appName("kcjfs-bench")
+        .getOrCreate()
+    )
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from kafka_connect_jdbc_flatten_spark.operators.merge import CdcApplier
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        transcript_changelog,
+    )
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="kcjfs_bench_")
+    queries: dict[str, float] = {}
+
+    try:
+        # ---------- fixture prep (untimed): changelog → parquet ----------
+        feed = os.path.join(tmp, "changelog")
+        changelog = transcript_changelog(spark, SF_DIR)
+        changelog.write.mode("overwrite").parquet(feed)
+        feed_df = spark.read.parquet(feed)
+        n_events = feed_df.count()
+        # equi-width seq split into micro-batches (seq is dense)
+        mn, mx = feed_df.agg(F.min("seq"), F.max("seq")).collect()[0]
+        step = (mx - mn + N_MICROBATCHES) // N_MICROBATCHES
+        bounds = [mn + step * i for i in range(1, N_MICROBATCHES)]
+
+        # ---------- headline: sustained MERGE-apply replay ----------
+        wh = os.path.join(tmp, "wh")
+        applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
+        t0 = time.time()
+        lo = None
+        for i in range(N_MICROBATCHES):
+            hi = bounds[i] if i < len(bounds) else None
+            batch = feed_df
+            if lo is not None:
+                batch = batch.filter(F.col("seq") >= lo)
+            if hi is not None:
+                batch = batch.filter(F.col("seq") < hi)
+            applier.apply_batch(batch, batch_id=i)
+            lo = hi
+        cdc_sec = time.time() - t0
+        queries["cdc_merge_apply_replay"] = round(cdc_sec, 3)
+        final_rows = applier.read(E.TURNS_TABLE).count()
+
+        # ---------- secondary headline queries ----------
+        def timed(name: str, fn):
+            t = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            queries[name] = round(time.time() - t, 3)
+            return n
+
+        t = time.time()
+        flat_rows = (
+            E.q_flatten_explode_prefixes(spark, SF_DIR)
+            .agg(F.count(F.lit(1)))
+            .collect()[0][0]
+        )
+        queries["flatten_explode_prefixes"] = round(time.time() - t, 3)
+
+        timed("lww_salted", E.q_lww_salted)
+        timed("incremental_tail", E.q_incremental_tail)
+        timed("dedup_minhash_lsh", E.q_dedup_minhash_lsh)
+        timed("dedup_exact", E.q_dedup_exact)
+        timed("simhash_values", E.q_simhash_values)
+        timed("text_quality", E.q_text_quality)
+        timed("token_counts", E.q_token_counts)
+        timed("ann_brute_topk", E.q_ann_brute_topk)
+        timed("multimodal_meta", E.q_multimodal_meta)
+
+        total = round(sum(queries.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                    "cpus": CPUS,
+                    "cdc_events": n_events,
+                    "cdc_events_per_sec": round(n_events / cdc_sec, 1),
+                    "cdc_final_rows": final_rows,
+                    "flatten_rows": flat_rows,
+                    "flatten_rows_per_sec": round(
+                        flat_rows / queries["flatten_explode_prefixes"], 1
+                    ),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

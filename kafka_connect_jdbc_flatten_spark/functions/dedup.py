@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, normalize_text, normalize_text_sql
+from .util import spread
 
 # Mersenne prime 2^31-1: (a*h + b) % P stays < 2^62 — safe for int64
 # arithmetic in BOTH Spark and DuckDB (DuckDB raises on overflow).
@@ -91,7 +92,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the text.  Output: (fp, winner_id, n_dups).
     """
     return (
-        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        spread(df).select(fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("winner_id"),
@@ -127,18 +128,18 @@ def ngram_jaccard_pairs(
 
     Returns (id1, id2, jaccard) with id1 < id2, jaccard rounded to 6dp.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
     sizes = sh.select("id", F.size("sh").alias("sz"))
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
-        from pyspark.sql import Window
-
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         ex = ex.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), "s").select(
             "id", "s"
         )
+    # persisted: both sides of the self-join scan it
+    ex = ex.persist()
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -258,11 +259,13 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    base = df.select(
+    # persisted: consumed by banding once and the verify join twice —
+    # without it the md5/minhash expressions run 3×
+    base = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("sh"),
         minhash_signature(text_col, n, n_hashes, seed).alias("sig"),
-    )
+    ).persist()
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -426,7 +429,7 @@ def simhash_neardup_pairs(
     assert bits % chunks == 0
     w = bits // chunks
     mask = (1 << w) - 1
-    base = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
+    base = spread(df).select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
     chunk_arr = F.array(
         *[F.shiftright("sh", j * w).bitwiseAND(F.lit(mask)) for j in range(chunks)]
     )

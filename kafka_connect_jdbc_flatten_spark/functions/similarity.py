@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -57,7 +59,7 @@ def brute_force_topk(
     window ranks within query_id — one exchange keyed on query_id,
     k·|queries| output rows.
     """
-    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+    joined = spread(embeddings).crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
@@ -116,10 +118,11 @@ def embedding_neardup_pairs(
     detection).  Exact all-pairs — quadratic, fine for a dedup pass
     over a candidate block; at full scale route candidates through
     ``lsh_topk`` buckets first and reuse this as the verify stage."""
-    a = embeddings.select(
+    emb = spread(embeddings)
+    a = emb.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
     )
-    b = embeddings.select(
+    b = emb.select(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
     )
     return (
@@ -209,7 +212,7 @@ def lsh_topk(
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    e_buckets = embeddings.select(
+    e_buckets = spread(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
         *[

@@ -270,11 +270,12 @@ class LakeTable:
         batch = batch.withColumn(
             BUCKET_COL,
             F.pmod(F.xxhash64(*[F.col(c) for c in scope]), F.lit(m["n_buckets"])).cast("int"),
-        )
+        ).persist()  # consumed by the touched-bucket probe AND the write
         # Which buckets does this batch touch?  Tiny aggregate (≤ n_buckets
         # rows) — the lake-format analogue of partition pruning.
         touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
         if not touched:
+            batch.unpersist()
             if batch_id is not None:
                 m["last_committed_batch_id"][writer_id] = batch_id
                 self._commit(base, m)
@@ -315,6 +316,7 @@ class LakeTable:
 
         commit_id = uuid.uuid4().hex[:12]
         new_files = self._write_bucket_files(new_state, commit_id)
+        batch.unpersist()
         files = dict(m["files"])
         for tb in touched:
             files.pop(str(tb), None)

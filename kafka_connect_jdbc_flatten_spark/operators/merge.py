@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from ..lake.table import SEQ_COL, LakeTable
 from ..plans.flatten_plan import FlattenPlan, TableSpec
 from .explode import flatten_table
-from .lww import lww_reduce
+from .lww import lww_reduce_agg
 
 DELETE_COL = "__is_delete"
 
@@ -87,8 +87,14 @@ class CdcApplier:
                 "FlattenTransformation.java:166-175"
             )
 
-        # one image per key per batch: LWW on the binlog order
-        reduced = lww_reduce(changelog, ["key"], ["seq"])
+        # one image per key per batch: LWW on the binlog order.
+        # The max_by aggregation form (vs window row_number) applies
+        # map-side combine — a binlog feed is naturally clustered by
+        # key, so most duplicate envelopes collapse before the shuffle.
+        # Persisted: every target table's flatten + its tombstone scan
+        # reads this once instead of re-running the reduction
+        # 2×n_tables times per micro-batch.
+        reduced = lww_reduce_agg(changelog, ["key"], ["seq"]).persist()
         is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
         upserts = reduced.filter(~is_del)
         deletes = reduced.filter(is_del)
@@ -125,6 +131,7 @@ class CdcApplier:
                 batch_id=batch_id,
                 writer_id=spec.table_name,
             )
+        reduced.unpersist()
         return stats
 
     def _key_exprs(self, spec: TableSpec):

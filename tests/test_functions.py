@@ -1,0 +1,195 @@
+"""Tests for the training-data functions layer (text / dedup /
+similarity / multimodal) and the skew-safe reduction."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_jdbc_flatten_spark.functions import dedup as D
+from kafka_connect_jdbc_flatten_spark.functions import similarity as SIM
+from kafka_connect_jdbc_flatten_spark.functions import text as TX
+from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+    attach_fake_blob,
+    fake_decode_meta,
+    frame_sample,
+)
+from kafka_connect_jdbc_flatten_spark.operators.lww import lww_reduce
+from kafka_connect_jdbc_flatten_spark.operators.skew import salted_lww_reduce
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------- text
+def test_token_counts(spark):
+    df = docs_df(spark, [(1, "  a  bb ccc "), (2, ""), (3, "x-1 y!")])
+    got = {
+        r.doc_id: (r.ws, r.re)
+        for r in df.select(
+            "doc_id",
+            TX.token_count_ws("text").alias("ws"),
+            TX.token_count_re("text").alias("re"),
+        ).collect()
+    }
+    assert got[1] == (3, 3)
+    assert got[2] == (0, 0)
+    # "x-1 y!" → ws: 2; regex: x,-,1,y,! → 5
+    assert got[3] == (2, 5)
+
+
+def test_lang_id(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the cat and the dog of it"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et la maison est pour un ami"),
+            (4, "zzz qqq www"),
+        ],
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", TX.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = docs_df(spark, [(1, "Hello   World"), (2, "hello world"), (3, "other")])
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", TX.fingerprint("text").alias("fp")).collect()
+    }
+    assert fps[1] == fps[2] != fps[3]
+    assert fps[2] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = TX.text_quality(F.col("text"))
+    row = docs.select(
+        F.min(feats["quality_score"]).alias("lo"),
+        F.max(feats["quality_score"]).alias("hi"),
+        F.max(feats["alpha_ratio"]).alias("ar"),
+    ).collect()[0]
+    assert 0.0 <= row.lo <= row.hi <= 1.0
+    assert row.ar <= 1.0
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup_groups(spark):
+    df = docs_df(
+        spark,
+        [(1, "Same  Doc"), (2, "same doc"), (3, "unique one"), (4, "SAME DOC")],
+    )
+    out = {r.winner_id: r.n_dups for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "q r s t u v w x"),
+        ],
+    )
+    pairs = D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.01).collect()
+    assert {(p.id1, p.id2, p.jaccard) for p in pairs} == {(1, 2, 1.0)}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = docs_df(
+        spark,
+        [
+            (1, base),
+            (2, base + " extra"),  # near dup
+            (3, "completely different words everywhere nothing shared at all ok"),
+        ],
+    )
+    pairs = D.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.8
+
+
+def test_minhash_signature_deterministic(spark):
+    df = docs_df(spark, [(1, "some words here repeated words"), (2, "some words here repeated words")])
+    sigs = df.select(D.minhash_signature("text").alias("s")).collect()
+    assert sigs[0].s == sigs[1].s
+    assert len(sigs[0].s) == 32
+
+
+def test_simhash_pairs(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+    )
+    pairs = D.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+# ------------------------------------------------------------- similarity
+def test_brute_topk_self_match(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = SIM.brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert top[0].vec_id == 0 and abs(top[0].score - 1.0) < 1e-6
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id) for r in SIM.lsh_topk(emb, q, k=5, dim=64).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.4, recall  # sign-LSH with 4 tables on random vectors
+
+
+# ------------------------------------------------------------- multimodal
+def test_fake_decode_meta_matches_python(spark):
+    docs = docs_df(spark, [(1, "hello world"), (2, "abc")])
+    out = {r.doc_id: r for r in fake_decode_meta(attach_fake_blob(docs, "text")).collect()}
+    assert out[1].n_bytes == 11
+    assert out[1].head_hex == b"hell".hex()
+    assert out[1].content_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert out[2].head_hex == b"abc".hex()  # shorter than 4 bytes
+
+
+def test_frame_sample_explodes_rows(spark):
+    docs = docs_df(spark, [(1, "x" * 25000), (2, "y")])
+    out = frame_sample(attach_fake_blob(docs, "text"), every_ms=1000)
+    counts = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 3  # 2500ms fake duration → frames at 0,1000,2000
+    assert counts[2] == 1
+
+
+# ------------------------------------------------------------------- skew
+def test_salted_lww_equals_plain(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # make one hot key: map 80% of rows onto user 1
+    skewed = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 5 != 0, F.lit(1)).otherwise(F.col("user_id"))
+    )
+    a = lww_reduce(skewed, ["user_id"], ["ts", "event_id"])
+    b = salted_lww_reduce(skewed, ["user_id"], ["ts", "event_id"], n_salts=7)
+    cols = sorted(a.columns)
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
