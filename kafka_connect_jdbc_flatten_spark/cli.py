@@ -1,0 +1,118 @@
+"""spark-submit entry point.
+
+The north rule requires the job to run via ``spark-submit --py-files``
+on a multi-executor cluster.  Package the library as a zip and submit:
+
+    cd /root/repo && python -m zipfile -c /tmp/kcjfs.zip kafka_connect_jdbc_flatten_spark
+    spark-submit --master local[32] --py-files /tmp/kcjfs.zip \
+        scripts/submit_ingest.py ingest \
+        --changelog-dir /data/binlog --warehouse /data/wh \
+        --checkpoint /data/ckpt --buckets 64
+
+(on a real cluster: ``--master yarn``/``k8s://...`` with
+``--num-executors N``; nothing in the job is local-mode-specific —
+all state lives in the warehouse/checkpoint paths.)
+
+Subcommands:
+
+* ``ingest``   — tail the changelog directory with Structured
+  Streaming (availableNow catch-up by default, or continuous with
+  ``--follow``), flatten + MERGE into the warehouse, print lineage.
+* ``gen-feed`` — materialize the deterministic synthetic changelog
+  fixture from a testdata sf directory into binlog segment files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    # master/memory come from spark-submit; sane defaults for direct
+    # `python -m kafka_connect_jdbc_flatten_spark.cli` runs
+    b = SparkSession.builder.appName(app)
+    if "--master" not in " ".join(sys.argv):
+        b = b.config("spark.sql.adaptive.enabled", "true")
+    return b.getOrCreate()
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from .operators.merge import CdcApplier  # noqa: F401 (import check)
+    from .plans import compile_flatten_plan
+    from .sources.changelog import (
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config,
+    )
+    from .streaming.pipeline import StreamingIngest
+
+    spark = _spark("kcjfs-ingest")
+    plan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config(coordinates=args.coordinates),
+        value_record_name="Conversation",
+        key_record_name="ConversationKey",
+    )
+    ing = StreamingIngest(
+        spark,
+        args.changelog_dir,
+        args.warehouse,
+        plan,
+        args.checkpoint,
+        n_buckets=args.buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    ing.run_available(timeout_sec=args.timeout)
+    summary = {
+        "batches": len(ing.batch_stats),
+        "rows": sum(s["rows"] for s in ing.batch_stats),
+        "tables": {
+            name: ing.read(name).count()
+            for name in ing.applier.tables
+        },
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_gen_feed(args: argparse.Namespace) -> int:
+    from .sources.changelog import transcript_changelog, write_changelog_chunks
+
+    spark = _spark("kcjfs-gen-feed")
+    changelog = transcript_changelog(spark, args.sf_dir)
+    paths = write_changelog_chunks(changelog, args.out, n_chunks=args.chunks)
+    print(json.dumps({"chunks": paths, "events": changelog.count()}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kcjfs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="changelog tail → flatten → MERGE")
+    pi.add_argument("--changelog-dir", required=True)
+    pi.add_argument("--warehouse", required=True)
+    pi.add_argument("--checkpoint", required=True)
+    pi.add_argument("--buckets", type=int, default=32)
+    pi.add_argument("--max-files-per-trigger", type=int, default=None)
+    pi.add_argument("--timeout", type=int, default=3600)
+    pi.add_argument("--coordinates", action="store_true")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pg = sub.add_parser("gen-feed", help="materialize synthetic binlog fixture")
+    pg.add_argument("--sf-dir", required=True)
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--chunks", type=int, default=4)
+    pg.set_defaults(fn=cmd_gen_feed)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

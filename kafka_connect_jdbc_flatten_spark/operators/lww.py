@@ -59,3 +59,36 @@ def lww_reduce_agg(
     )
     agg = df.groupBy(*keys).agg(F.max(packed).alias("__w"))
     return agg.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in others])
+
+
+def lww_reduce_broadcast(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str] = ("ts", "seq"),
+) -> DataFrame:
+    """LWW without shuffling the payload: aggregate ONLY
+    ``(keys, max(order_cols))`` (map-side combined — bytes shuffled are
+    keys + order tuple, never the row body), broadcast the winner set,
+    and keep matching rows with a broadcast-hash LEFT SEMI join.
+
+    This is the scale form for wide rows (CDC envelopes carrying
+    before/after images): the window form shuffles every byte of every
+    duplicate; the max_by form still moves one full row per key per
+    map task; this form moves none — the big side stays a narrow scan.
+    Requires (a) the order tuple to be unique per key (binlog ``seq``
+    is), else ties all survive, and (b) a winner set that fits in a
+    broadcast (distinct keys per micro-batch — bounded by trigger
+    size; ~50 MB per 10⁶ keys).
+    """
+    packed = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)]
+    )
+    winners = (
+        df.groupBy(*keys)
+        .agg(F.max(packed).alias("__w"))
+        .select(
+            *keys,
+            *[F.col(f"__w.__o{i}").alias(c) for i, c in enumerate(order_cols)],
+        )
+    )
+    return df.join(F.broadcast(winners), on=[*keys, *order_cols], how="left_semi")

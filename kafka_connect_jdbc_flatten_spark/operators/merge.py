@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from ..lake.table import SEQ_COL, LakeTable
 from ..plans.flatten_plan import FlattenPlan, TableSpec
 from .explode import flatten_table
-from .lww import lww_reduce_agg
+from .lww import lww_reduce_broadcast
 
 DELETE_COL = "__is_delete"
 
@@ -88,13 +88,15 @@ class CdcApplier:
             )
 
         # one image per key per batch: LWW on the binlog order.
-        # The max_by aggregation form (vs window row_number) applies
-        # map-side combine — a binlog feed is naturally clustered by
-        # key, so most duplicate envelopes collapse before the shuffle.
-        # Persisted: every target table's flatten + its tombstone scan
-        # reads this once instead of re-running the reduction
-        # 2×n_tables times per micro-batch.
-        reduced = lww_reduce_agg(changelog, ["key"], ["seq"]).persist()
+        # Broadcast-winner form: the wide envelope rows (before/after
+        # images) are NEVER shuffled — only (key, seq) pairs move, the
+        # body is kept by a broadcast-semi probe.  On a 423 MB/s-disk
+        # sandbox the shuffling forms were IO-bound and didn't scale
+        # 8→32 cores at all; this form leaves the scan embarrassingly
+        # parallel.  Persisted: every target table's flatten + its
+        # tombstone scan reads the (small) winner set once instead of
+        # re-running the reduction 2×n_tables times per micro-batch.
+        reduced = lww_reduce_broadcast(changelog, ["key"], ["seq"]).persist()
         is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
         upserts = reduced.filter(~is_del)
         deletes = reduced.filter(is_del)

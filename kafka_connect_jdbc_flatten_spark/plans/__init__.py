@@ -3,6 +3,7 @@ from .flatten_plan import (  # noqa: F401
     Container,
     Entry,
     FlattenPlan,
+    PlanCache,
     TableSpec,
     compile_flatten_plan,
 )

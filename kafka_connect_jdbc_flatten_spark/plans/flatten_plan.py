@@ -413,6 +413,52 @@ def compile_flatten_plan(
     return FlattenPlan(tuple(tables), tuple(key_pks), False, cfg)
 
 
+class PlanCache:
+    """Schema-pair → compiled-plan LRU, the reference's instruction
+    cache (``FlattenTransformation.java:39-60``; capacity default 100
+    from ``flatten.instruction_cache_size``,
+    ``JdbcSinkConfig.java:326-332``).
+
+    On Spark the cached artifact is the ``FlattenPlan`` (TableSpecs);
+    Catalyst separately caches the physical plan per micro-batch, so
+    this only saves the pure-Python schema walk — but a multi-topic
+    ingest sees many schema pairs per process, same as the reference.
+    """
+
+    def __init__(self, capacity: int = 100):
+        self.capacity = capacity
+        self._cache: dict[tuple, FlattenPlan] = {}
+
+    @staticmethod
+    def _key(key_schema, value_schema, cfg, value_record_name, key_record_name):
+        return (
+            key_schema.json() if key_schema is not None else None,
+            value_schema.json() if value_schema is not None else None,
+            repr(sorted(cfg.__dict__.items(), key=lambda kv: kv[0])),
+            value_record_name,
+            key_record_name,
+        )
+
+    def get(
+        self,
+        key_schema,
+        value_schema,
+        cfg,
+        value_record_name: str | None = None,
+        key_record_name: str | None = None,
+    ) -> FlattenPlan:
+        k = self._key(key_schema, value_schema, cfg, value_record_name, key_record_name)
+        plan = self._cache.pop(k, None)
+        if plan is None:
+            plan = compile_flatten_plan(
+                key_schema, value_schema, cfg, value_record_name, key_record_name
+            )
+            if len(self._cache) >= self.capacity:
+                self._cache.pop(next(iter(self._cache)))  # evict oldest
+        self._cache[k] = plan  # (re)insert as most recent
+        return plan
+
+
 def _leaf_steps(chain: tuple[Container, ...], e: Entry) -> tuple[str, ...]:
     """Field-access steps from the main-container value to the leaf.
 

@@ -1,0 +1,121 @@
+"""Batch polling source — the reference's JDBC source task loop.
+
+``JdbcSourceTask.poll`` repeatedly executes
+``SELECT * FROM t WHERE <criteria> ORDER BY ts, inc LIMIT batch.max.rows``
+and persists a resumable ``(timestamp, incrementing)`` offset per table
+(``JdbcSourceTask.java:342-412``, ``TimestampIncrementingOffset.java:54-84``).
+Structured Streaming replaces this loop in production (checkpointed
+offsets), but the batch poller is part of the reference's public
+surface — modes ``bulk | incrementing | timestamp |
+timestamp+incrementing`` (``JdbcSourceConnectorConfig.java:155-159``) —
+and is useful for backfills driven by an external scheduler.
+
+Offsets are plain dicts (JSON-serializable), mirroring
+``TimestampIncrementingOffset.toMap()``.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .incremental import IncrementalCriteria
+
+MODES = ("bulk", "incrementing", "timestamp", "timestamp+incrementing")
+
+
+@dataclass
+class TablePoller:
+    """Poll a snapshot-readable table incrementally.
+
+    ``batch_max_rows`` caps each poll (``batch.max.rows`` default 100,
+    ``JdbcSourceConnectorConfig.java:93-97``); ``timestamp_delay_ms``
+    is the late-transaction guard (``:255-263``): rows with
+    ``ts >= now - delay`` are left for a later poll so in-flight
+    writes with earlier timestamps are never skipped.
+    """
+
+    mode: str = "timestamp+incrementing"
+    ts_col: str | None = "ts"
+    inc_col: str | None = "seq"
+    batch_max_rows: int = 100
+    timestamp_delay_ms: int = 0
+    offset: dict = field(default_factory=dict)  # {"timestamp": iso, "incrementing": int}
+
+    def __post_init__(self):
+        if self.mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}")
+        if self.mode == "bulk":
+            self.ts_col = self.inc_col = None
+        elif self.mode == "incrementing":
+            self.ts_col = None
+        elif self.mode == "timestamp":
+            self.inc_col = None
+
+    @property
+    def criteria(self) -> IncrementalCriteria:
+        return IncrementalCriteria(ts_col=self.ts_col, inc_col=self.inc_col)
+
+    def _last(self) -> tuple[datetime.datetime | None, int | None]:
+        ts = self.offset.get("timestamp")
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        return ts, self.offset.get("incrementing")
+
+    def poll(
+        self,
+        df: DataFrame,
+        end_ts: datetime.datetime | None = None,
+    ) -> DataFrame:
+        """One poll: the next ≤ batch_max_rows changes past the stored
+        offset in (ts, inc) total order; advances the offset to the
+        batch's maximum (the reference's ``extractValues`` running
+        offset, ``TimestampIncrementingCriteria.java:183-262``).
+
+        ``bulk`` mode re-reads the whole table and keeps no offset
+        (``BulkTableQuerier``)."""
+        if self.mode == "bulk":
+            return df
+
+        last_ts, last_inc = self._last()
+        if self.ts_col and last_ts is None:
+            last_ts = datetime.datetime(1970, 1, 1)
+        if self.inc_col and last_inc is None:
+            last_inc = -1
+
+        filtered = df.filter(
+            self.criteria.predicate(
+                last_ts, last_inc, end_ts=end_ts, delay_ms=self.timestamp_delay_ms
+            )
+        )
+        order = [F.col(c).asc() for c in (self.ts_col, self.inc_col) if c]
+        batch = filtered.orderBy(*order).limit(self.batch_max_rows)
+
+        # advance the offset to the max (ts, inc) of the batch — one
+        # tiny aggregate, the Spark analogue of per-row extractValues
+        agg_cols = [c for c in (self.ts_col, self.inc_col) if c]
+        tail = batch.agg(
+            F.max(F.struct(*[F.col(c) for c in agg_cols])).alias("m")
+        ).collect()[0]["m"]
+        if tail is not None:
+            vals = list(tail)
+            if self.ts_col:
+                self.offset["timestamp"] = vals.pop(0).isoformat()
+            if self.inc_col:
+                self.offset["incrementing"] = vals.pop(0)
+        return batch
+
+    def poll_all(self, df: DataFrame, max_polls: int = 10_000):
+        """Drain the table: yield batches until exhausted — the
+        poll-loop shape of ``JdbcSourceTask.poll`` without the sleep."""
+        for _ in range(max_polls):
+            batch = self.poll(df)
+            rows = batch.count()
+            if rows == 0:
+                return
+            yield batch
+            if self.mode == "bulk":
+                return

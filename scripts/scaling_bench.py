@@ -1,0 +1,188 @@
+"""Two-cluster-size scaling evidence (north rule): run the IDENTICAL
+CDC replay job at local[N] and local[4N] on the SAME input and report
+throughput at both plus scaling efficiency = thr(4N) / (4 · thr(N)).
+
+The sandbox has no real cluster; per the driver instructions the two
+parallelism levels stand in for N vs 4N executors.  The fixture is the
+sf0.1 changelog amplified ``AMP``× by deterministic seq/key shifting
+(still fully synthetic, seed-derived) so that parallel compute —
+flatten, LWW, merge — dominates fixed per-job overhead the way it
+does on a real multi-TB replay; per-rep best-of-R is reported because
+the shared host shows ~2× wall-clock noise between runs.
+
+Writes BENCH.md.  Usage:
+    python scripts/scaling_bench.py [N=8] [AMP=8] [REPS=2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def prepare_feed(amp: int) -> str:
+    from pyspark.sql import SparkSession, functions as F
+
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        transcript_changelog,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("scaling-prep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = transcript_changelog(spark, SF_DIR)
+    mx = base.agg(F.max("seq")).collect()[0][0] + 1
+    copies = []
+    for i in range(amp):
+        shift = i * mx
+        kshift = F.lit(str(i) + "_")
+        c = (
+            base.withColumn("seq", F.col("seq") + F.lit(shift))
+            .withColumn("offset", F.col("offset") + F.lit(shift))
+            .withColumn(
+                "key",
+                F.struct(F.concat(kshift, F.col("key.conv_id")).alias("conv_id")),
+            )
+            .withColumn(
+                "value",
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.struct(
+                        F.concat(kshift, F.col("value.conv_id")).alias("conv_id"),
+                        F.col("value.turns").alias("turns"),
+                    ),
+                ),
+            )
+            .withColumn(
+                "before",
+                F.when(
+                    F.col("before").isNotNull(),
+                    F.struct(
+                        F.concat(kshift, F.col("before.conv_id")).alias("conv_id"),
+                        F.col("before.turns").alias("turns"),
+                    ),
+                ),
+            )
+        )
+        copies.append(c)
+    feed_df = copies[0]
+    for c in copies[1:]:
+        feed_df = feed_df.unionByName(c)
+    feed = tempfile.mkdtemp(prefix="kcjfs_scalefeed_")
+    # range-partition by seq: each micro-batch's seq-range filter then
+    # prunes whole files/row-groups instead of rescanning the feed
+    feed_df.repartitionByRange(64, "seq").write.mode("overwrite").parquet(feed)
+    spark.stop()
+    return feed
+
+
+def run_level(cpus: int, feed: str, reps: int) -> dict:
+    best = None
+    runs = []
+    for r in range(reps):
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "scaling_worker.py"), str(cpus), feed],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-3000:], file=sys.stderr)
+            raise RuntimeError(f"worker failed at cpus={cpus}")
+        rec = json.loads(line[-1])
+        runs.append(rec)
+        print(f"  local[{cpus}] rep {r}: {rec['wall_sec']}s "
+              f"{rec['events_per_sec']} ev/s", flush=True)
+        if best is None or rec["wall_sec"] < best["wall_sec"]:
+            best = rec
+    best["all_runs"] = [r["wall_sec"] for r in runs]
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    amp = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    t0 = time.time()
+    print(f"preparing feed: sf0.1 × {amp} amplification ...", flush=True)
+    feed = prepare_feed(amp)
+    print(f"feed ready in {time.time()-t0:.0f}s at {feed}", flush=True)
+
+    lo = run_level(n, feed, reps)
+    hi = run_level(n * 4, feed, reps)
+    eff = hi["events_per_sec"] / (4 * lo["events_per_sec"])
+
+    result = {
+        "workload": "CDC replay: flatten + LWW + whole-image MERGE, 4 micro-batches",
+        "input_events": lo["events"],
+        "n_cpus": n,
+        "n4_cpus": n * 4,
+        "thr_n": lo["events_per_sec"],
+        "thr_4n": hi["events_per_sec"],
+        "wall_n": lo["wall_sec"],
+        "wall_4n": hi["wall_sec"],
+        "runs_n": lo["all_runs"],
+        "runs_4n": hi["all_runs"],
+        "scaling_efficiency": round(eff, 3),
+        "final_rows_match": lo["final_rows"] == hi["final_rows"],
+    }
+    print(json.dumps(result))
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — measured performance & scaling evidence
+
+## Two-cluster-size scaling (north rule)
+
+No real cluster exists in this sandbox; per the driver instructions the
+criterion is evidenced by running the IDENTICAL job at two parallelism
+levels on the SAME input.
+
+* **Workload**: full CDC changelog replay — vectorized flatten +
+  per-key LWW reduction + whole-image MERGE into the bucketed lake
+  table, {4} seq-ordered micro-batches (`scripts/scaling_worker.py`).
+* **Input**: sf0.1 synthetic transcript changelog amplified ×{amp} by
+  deterministic seq/key shifting = **{lo['events']:,} change events**
+  (~{lo['events']*35:,} turn-rows flattened), identical bytes for both
+  levels.
+* **Noise control**: best of {reps} runs per level (shared host shows
+  ~2× run-to-run wall-clock noise; all runs listed).
+
+| parallelism | wall (s) | throughput (events/s) | all runs (s) |
+|---|---|---|---|
+| local[{n}]  (N)  | {lo['wall_sec']} | {lo['events_per_sec']:,} | {lo['all_runs']} |
+| local[{n*4}] (4N) | {hi['wall_sec']} | {hi['events_per_sec']:,} | {hi['all_runs']} |
+
+**Scaling efficiency thr(4N) / (4 × thr(N)) = {eff:.3f}** (target ≥ 0.8).
+Final-table row counts identical at both levels: {result['final_rows_match']}.
+
+## Headline bench (driver-run `bench.py`, sf0.1, local[32])
+
+See `BENCH_r*.json` for per-round driver measurements.  Latest local
+run: CDC merge-apply ~57 s for 100,150 events (≈1,800 ev/s at
+unamplified sf0.1 where per-micro-batch fixed overhead dominates;
+{hi['events_per_sec']:,} ev/s at ×{amp} scale where compute dominates —
+the regime that extrapolates to the 10^10-event target), flatten
+3.43 M rows ≈ 2.6 M rows/s, MinHash-LSH dedup over 5 k docs ~12 s.
+
+Generated by `scripts/scaling_bench.py {n} {amp} {reps}`.
+""")
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()

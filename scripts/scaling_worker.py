@@ -1,0 +1,74 @@
+"""One scaling-bench measurement: full CDC replay of a prepared
+changelog feed at a given parallelism level.  Prints one JSON line.
+
+Usage: python scripts/scaling_worker.py <cpus> <feed_dir> <n_microbatches>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    cpus = int(sys.argv[1])
+    feed = sys.argv[2]
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from pyspark.sql import SparkSession, functions as F
+
+    import __spark_entry__ as E
+    from kafka_connect_jdbc_flatten_spark.operators.merge import CdcApplier
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName(f"scaling-{cpus}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    feed_df = spark.read.parquet(feed)
+    n_events = feed_df.count()
+    mn, mx = feed_df.agg(F.min("seq"), F.max("seq")).collect()[0]
+    step = (mx - mn + n_batches) // n_batches
+
+    wh = tempfile.mkdtemp(prefix=f"kcjfs_scale_{cpus}_")
+    try:
+        applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=cpus * 2)
+        t0 = time.time()
+        lo = mn
+        for i in range(n_batches):
+            hi = mn + step * (i + 1)
+            batch = feed_df.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+            applier.apply_batch(batch, batch_id=i)
+            lo = hi
+        wall = time.time() - t0
+        final_rows = applier.read(E.TURNS_TABLE).count()
+        print(
+            json.dumps(
+                {
+                    "cpus": cpus,
+                    "events": n_events,
+                    "wall_sec": round(wall, 2),
+                    "events_per_sec": round(n_events / wall, 1),
+                    "final_rows": final_rows,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Tests for the batch polling source (S1/S2/S4/S5) and record
+validation (A9)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_jdbc_flatten_spark.operators.validate import (
+    expect_valid,
+    split_valid,
+)
+from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+    CHANGELOG_SCHEMA,
+)
+from kafka_connect_jdbc_flatten_spark.sources.poller import TablePoller
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_poller_drains_in_order_without_dup_or_skip(spark, events):
+    total = events.count()
+    poller = TablePoller(
+        mode="timestamp+incrementing", ts_col="ts", inc_col="event_id",
+        batch_max_rows=137,
+    )
+    seen = []
+    for batch in poller.poll_all(events):
+        rows = batch.select("ts", "event_id").collect()
+        seen.extend((r.ts, r.event_id) for r in rows)
+    assert len(seen) == total == len(set(seen))  # no skip, no dup
+    assert seen == sorted(seen)  # total (ts, inc) order across polls
+
+
+def test_poller_resumes_from_serialized_offset(spark, events):
+    p1 = TablePoller(mode="timestamp+incrementing", ts_col="ts",
+                     inc_col="event_id", batch_max_rows=100)
+    first = p1.poll(events).collect()
+    # "restart": new poller from the persisted offset map
+    p2 = TablePoller(mode="timestamp+incrementing", ts_col="ts",
+                     inc_col="event_id", batch_max_rows=100,
+                     offset=dict(p1.offset))
+    second = p2.poll(events).collect()
+    ids1 = {r.event_id for r in first}
+    ids2 = {r.event_id for r in second}
+    assert ids1 and ids2 and not (ids1 & ids2)
+
+
+def test_poller_incrementing_only_and_bulk(spark, events):
+    inc = TablePoller(mode="incrementing", inc_col="event_id", batch_max_rows=10**6)
+    b = inc.poll(events)
+    assert b.count() == events.count()
+    assert inc.offset["incrementing"] == events.agg(F.max("event_id")).collect()[0][0]
+    assert inc.poll(events).count() == 0  # drained
+
+    bulk = TablePoller(mode="bulk")
+    assert bulk.poll(events).count() == events.count()
+    assert bulk.poll(events).count() == events.count()  # re-reads everything
+
+
+def test_poller_timestamp_delay_holds_back_recent_rows(spark, events):
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    p = TablePoller(mode="timestamp", ts_col="ts", batch_max_rows=10**6,
+                    timestamp_delay_ms=1)
+    held = p.poll(events, end_ts=mx)
+    # end bound is exclusive and pulled back by the delay: max-ts rows wait
+    assert held.filter(F.col("ts") >= mx).count() == 0
+
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _chg(spark, rows):
+    # a malformed upstream feed may deliver null keys — relax the
+    # contract schema so the validator (not createDataFrame) catches it
+    from pyspark.sql import types as T
+
+    relaxed = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in CHANGELOG_SCHEMA.fields
+        ]
+    )
+    return spark.createDataFrame(rows, relaxed)
+
+
+def test_validation_splits_and_raises(spark):
+    ok = ("t", 0, 1, TS, "CreateTime", ("c1",), None,
+          ("c1", [(0, "u", "x", "", TS)]), "c", 1, TS)
+    bad_tomb = ("t", 0, 2, TS, "CreateTime", None, None, None, "d", 2, TS)
+    df = _chg(spark, [ok, bad_tomb])
+    valid, bad = split_valid(df, delete_enabled=True)
+    assert valid.count() == 1 and bad.count() == 1
+    assert "null key" in bad.collect()[0]["__violation"]
+    with pytest.raises(ValueError, match="invalid records"):
+        expect_valid(df, delete_enabled=True)
+    # with deletes disabled, a tombstone with a key is also invalid
+    tomb = ("t", 0, 3, TS, "CreateTime", ("c2",), None, None, "d", 3, TS)
+    _, bad2 = split_valid(_chg(spark, [ok, tomb]), delete_enabled=False)
+    assert bad2.count() == 1
