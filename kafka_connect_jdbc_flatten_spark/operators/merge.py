@@ -87,22 +87,33 @@ class CdcApplier:
                 "FlattenTransformation.java:166-175"
             )
 
+        # Project to the columns the apply actually needs BEFORE
+        # reducing: `.persist()` below is a column-pruning barrier, so
+        # without this the scan deserializes the `before` image — half
+        # the envelope bytes — that nothing downstream reads.
+        needed = [
+            c for c in changelog.columns if c != "before"
+        ]
+        changelog = changelog.select(*needed)
         # one image per key per batch: LWW on the binlog order.
-        # Broadcast-winner form: the wide envelope rows (before/after
-        # images) are NEVER shuffled — only (key, seq) pairs move, the
-        # body is kept by a broadcast-semi probe.  On a 423 MB/s-disk
-        # sandbox the shuffling forms were IO-bound and didn't scale
-        # 8→32 cores at all; this form leaves the scan embarrassingly
-        # parallel.  Persisted: every target table's flatten + its
-        # tombstone scan reads the (small) winner set once instead of
-        # re-running the reduction 2×n_tables times per micro-batch.
+        # Broadcast-winner form: the wide envelope rows (after images)
+        # are NEVER shuffled — only (key, seq) pairs move (a
+        # column-pruned two-column scan), the body is kept by a
+        # broadcast-semi probe.  On a 423 MB/s-disk sandbox the
+        # shuffling forms were IO-bound and didn't scale 8→32 cores at
+        # all; this form leaves the scan embarrassingly parallel.
+        # Persisted: every target table's flatten + its tombstone scan
+        # reads the (small) winner set once instead of re-running the
+        # reduction 2×n_tables times per micro-batch.
         reduced = lww_reduce_broadcast(changelog, ["key"], ["seq"]).persist()
+        reduced.count()  # materialize once, BEFORE the parallel merges race
         is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
         upserts = reduced.filter(~is_del)
         deletes = reduced.filter(is_del)
 
         stats: dict[str, dict] = {}
-        for spec in plan.tables:
+
+        def _merge_one(spec: TableSpec) -> tuple[str, dict]:
             table = self.tables[spec.table_name]
             flat = flatten_table(upserts, spec, carry_cols=("seq",)).withColumn(
                 DELETE_COL, F.lit(False)
@@ -125,7 +136,7 @@ class CdcApplier:
                 del_full.withColumnRenamed("seq", SEQ_COL)
             )
             scope = list(spec.key_merge_keys) or list(spec.merge_keys)
-            stats[spec.table_name] = table.merge(
+            return spec.table_name, table.merge(
                 batch_rows,
                 mode="replace",
                 scope_keys=scope,
@@ -133,6 +144,17 @@ class CdcApplier:
                 batch_id=batch_id,
                 writer_id=spec.table_name,
             )
+
+        # Target tables are independent — submit their MERGEs as
+        # concurrent Spark jobs (the reference flags this as possible
+        # but applies serially, FlattenTransformation.java:89-91 /
+        # JdbcDbWriter.java:217-223; on Spark the scheduler interleaves
+        # the stages, hiding each table's fixed job latency).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(plan.tables)) as pool:
+            for name, st in pool.map(_merge_one, plan.tables):
+                stats[name] = st
         reduced.unpersist()
         return stats
 

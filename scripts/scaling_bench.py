@@ -84,8 +84,11 @@ def prepare_feed(amp: int) -> str:
         feed_df = feed_df.unionByName(c)
     feed = tempfile.mkdtemp(prefix="kcjfs_scalefeed_")
     # range-partition by seq: each micro-batch's seq-range filter then
-    # prunes whole files/row-groups instead of rescanning the feed
-    feed_df.repartitionByRange(64, "seq").write.mode("overwrite").parquet(feed)
+    # prunes whole files/row-groups instead of rescanning the feed.
+    # 256 files ⇒ ≥64 input splits per micro-batch, so the scan can
+    # use every core at BOTH parallelism levels (a 64-file feed capped
+    # the per-batch scan at 16 tasks and masked all scaling)
+    feed_df.repartitionByRange(256, "seq").write.mode("overwrite").parquet(feed)
     spark.stop()
     return feed
 

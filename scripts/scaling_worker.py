@@ -32,6 +32,11 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        # nested-envelope deserialization is the per-byte-expensive
+        # part of the scan: split small parquet files aggressively so
+        # input parallelism never caps below the core count
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .appName(f"scaling-{cpus}")
         .getOrCreate()
     )
