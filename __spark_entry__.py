@@ -366,6 +366,61 @@ SELECT event_id, value, event_type, user_id FROM events
 """
 
 
+def q_poller_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch poll loop (S2/S4): timestamp+incrementing mode drains the
+    table in batch.max.rows pages with resumable offsets; the union of
+    all polls must be exactly the table (no skip, no dup)."""
+    from kafka_connect_jdbc_flatten_spark.sources.poller import TablePoller
+
+    ev = _read(spark, sf_dir, "events")
+    poller = TablePoller(
+        mode="timestamp+incrementing",
+        ts_col="ts",
+        inc_col="event_id",
+        batch_max_rows=4000,
+    )
+    out = None
+    for batch in poller.poll_all(ev):
+        out = batch if out is None else out.unionByName(batch)
+    return out.select(*EVENT_COLS)
+
+
+POLLER_DRAIN_SQL = "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+
+
+def q_flatten_uppercase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten.uppercase=true forces upper-cased identifiers
+    (``FlattenTransformation.java:723-725``)."""
+    cfg = FlattenConfig(
+        topic="events",
+        uppercase=True,
+        pk_mode="flatten",
+        pk_fields=("root.key",),
+        rename_fields={
+            "root.key": "EVENT_ID",
+            "eventattrs.event_id": "EVENT_ID_IMG",
+        },
+    )
+    plan = compile_flatten_plan(
+        _EVENT_ATTRS_KEY,
+        _EVENT_ATTRS_VALUE,
+        cfg,
+        value_record_name="EventAttrs",
+        key_record_name="EventKey",
+    )
+    spec = next(t for t in plan.tables if t.table_name.endswith("_ATTRS"))
+    assert spec.table_name == "EVENTS_EVENTATTRS_ATTRS"
+    return flatten_table(_event_attrs_changelog(spark, sf_dir), spec)
+
+
+UPPERCASE_SQL = """
+SELECT event_id AS EVENT_ID, event_type AS ATTRS,
+       'role' AS EVENTATTRS_ATTRS_KEY FROM events
+UNION ALL
+SELECT event_id, props, 'text' FROM events
+"""
+
+
 def q_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC tail criteria (S2/S3): resume after the 100th
     change in (ts, seq) order — ``WHERE (ts = last AND seq > lastSeq)
@@ -727,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_pk_propagation": q_flatten_pk_propagation,
         "flatten_nested_struct": q_flatten_nested_struct,
         "incremental_tail": q_incremental_tail,
+        "poller_drain": q_poller_drain,
+        "flatten_uppercase": q_flatten_uppercase,
         "lww_window": q_lww_window,
         "lww_aggregate": q_lww_aggregate,
         "lww_salted": q_lww_salted,
@@ -764,6 +821,8 @@ def oracle_sql() -> dict[str, str]:
         "flatten_pk_propagation": PK_PROPAGATION_SQL,
         "flatten_nested_struct": NESTED_STRUCT_SQL,
         "incremental_tail": INCREMENTAL_TAIL_SQL,
+        "poller_drain": POLLER_DRAIN_SQL,
+        "flatten_uppercase": UPPERCASE_SQL,
         "lww_window": LWW_SQL,
         "lww_aggregate": LWW_SQL,
         "lww_salted": LWW_SQL,

@@ -50,6 +50,8 @@ from pyspark.sql import types as T
 
 BUCKET_COL = "__bucket"
 SEQ_COL = "__seq"
+MOR_DELETE_COL = "__mor_del"
+SEG_COL = "__seg"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -154,21 +156,104 @@ class LakeTable:
 
     def read(self, buckets: list[int] | None = None) -> DataFrame:
         """Snapshot read; ``buckets`` restricts to those partitions
-        (partition pruning — only the touched buckets' files are scanned)."""
+        (partition pruning — only the touched buckets' files are
+        scanned).  When merge-on-read delta segments exist they are
+        reconciled here (latest segment wins per scope / per key, see
+        ``merge(strategy="mor")``)."""
         m = self.manifest()
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         read_schema = T.StructType(
-            list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+            list(schema.fields)
+            + [
+                T.StructField(BUCKET_COL, T.IntegerType(), True),
+                T.StructField(MOR_DELETE_COL, T.BooleanType(), True),
+            ]
         )
-        files = []
-        for b, fl in m["files"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(fl)
-        if not files:
-            return self.spark.createDataFrame([], read_schema)
-        # explicit schema ⇒ old files lacking newly-evolved columns read
-        # them as null (additive evolution)
-        return self.spark.read.schema(read_schema).parquet(*files)
+        segments = m.get("segments", [])
+
+        def _files(file_map: dict) -> list[str]:
+            return [
+                f
+                for b, fl in file_map.items()
+                if buckets is None or int(b) in buckets
+                for f in fl
+            ]
+
+        parts = []
+        base_files = _files(m["files"])
+        if base_files:
+            # explicit schema ⇒ old files lacking newly-evolved columns
+            # (or the MOR delete flag) read as null (additive evolution)
+            parts.append(
+                self.spark.read.schema(read_schema)
+                .parquet(*base_files)
+                .withColumn(SEG_COL, F.lit(0))
+            )
+        for i, seg in enumerate(segments):
+            fl = _files(seg["files"])
+            if fl:
+                parts.append(
+                    self.spark.read.schema(read_schema)
+                    .parquet(*fl)
+                    .withColumn(SEG_COL, F.lit(i + 1))
+                )
+        empty = self.spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+            ),
+        )
+        if not parts:
+            return empty
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        if not segments:
+            return allrows.drop(MOR_DELETE_COL, SEG_COL)
+        return self._reconcile(allrows, m)
+
+    def _reconcile(self, allrows: DataFrame, m: dict) -> DataFrame:
+        """Merge-on-read reconciliation.
+
+        * ``replace`` segments: for each scope key that appears in any
+          delta segment, ONLY the rows of its newest segment survive
+          (whole-image replacement at read time); scope keys never
+          touched by a delta keep their base rows.  The winner map is
+          only delta-touched keys — broadcastable because compaction
+          bounds the delta span.
+        * ``lww`` segments: row-level winner per ``key_cols`` on
+          ``(segment, seq)``.
+        Rows whose winning image is a delete marker drop out.
+        """
+        segments = m.get("segments", [])
+        modes = {s["mode"] for s in segments}
+        not_deleted = ~F.coalesce(F.col(MOR_DELETE_COL), F.lit(False))
+        if modes == {"replace"}:
+            scopes = [tuple(s["scope_keys"]) for s in segments]
+            if len(set(scopes)) != 1:
+                raise ValueError("mixed replace scopes; compact() first")
+            scope = list(scopes[0])
+            delta_keys = (
+                allrows.filter(F.col(SEG_COL) > 0)
+                .groupBy(*scope)
+                .agg(F.max(SEG_COL).alias("__ws"))
+            )
+            out = (
+                allrows.join(F.broadcast(delta_keys), on=scope, how="left")
+                .filter(F.col(SEG_COL) == F.coalesce(F.col("__ws"), F.lit(0)))
+                .filter(not_deleted)
+                .drop("__ws", SEG_COL, MOR_DELETE_COL)
+            )
+            return out
+        if modes == {"lww"}:
+            from ..operators.lww import lww_reduce_agg
+
+            winner = lww_reduce_agg(
+                allrows, m["key_cols"], [SEG_COL, SEQ_COL]
+            )
+            return winner.filter(not_deleted).drop(SEG_COL, MOR_DELETE_COL)
+        raise ValueError(f"mixed segment modes {modes}; compact() between them")
 
     def last_batch_id(self, writer_id: str) -> int:
         return self.manifest()["last_committed_batch_id"].get(writer_id, -1)
@@ -221,6 +306,7 @@ class LakeTable:
         commit_id = uuid.uuid4().hex[:12]
         new_files = self._write_bucket_files(self.with_bucket(df), commit_id)
         m["files"] = new_files
+        m["segments"] = []
         if batch_id is not None:
             m["last_committed_batch_id"][writer_id] = batch_id
         self._commit(base, m)
@@ -234,8 +320,23 @@ class LakeTable:
         delete_col: str | None = None,
         batch_id: int | None = None,
         writer_id: str = "default",
+        strategy: str = "mor",
     ) -> dict:
         """MERGE a (pre-flattened) batch into the table.
+
+        Strategies:
+
+        * ``mor`` (merge-on-read, default) — write ONLY the batch as a
+          new delta segment (O(batch) IO per commit); ``read()``
+          reconciles (newest segment wins per scope/key) and
+          ``compact()`` folds segments back into the base.  This is
+          the CDC-ingest shape (Iceberg MOR / position-delete
+          equivalent): at 10^10 events a copy-on-write that rewrites
+          every touched bucket per micro-batch is O(table·batches).
+        * ``cow`` (copy-on-write) — rewrite the touched buckets so the
+          base is always reconciled; auto-compacts first if delta
+          segments exist.  Best for read-heavy tables with rare
+          batches.
 
         Modes:
 
@@ -259,6 +360,15 @@ class LakeTable:
         Exactly-once: if ``batch_id`` ≤ the manifest's recorded id for
         ``writer_id`` the merge is a no-op (foreachBatch re-delivery).
         """
+        if strategy == "mor":
+            return self._merge_mor(
+                batch, mode, scope_keys, delete_col, batch_id, writer_id
+            )
+        if strategy != "cow":
+            raise ValueError(f"unknown merge strategy {strategy!r}")
+        if self.manifest().get("segments"):
+            self.compact()
+
         base = self._current_version()
         m = self.manifest()
         if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
@@ -332,6 +442,114 @@ class LakeTable:
             "version": m["version"],
         }
 
+    def _merge_mor(
+        self,
+        batch: DataFrame,
+        mode: str,
+        scope_keys: list[str] | None,
+        delete_col: str | None,
+        batch_id: int | None,
+        writer_id: str,
+    ) -> dict:
+        """Merge-on-read commit: the batch lands as a delta segment.
+
+        No old-state read, no probe job, no table rewrite — one
+        bucketed write of the batch plus the manifest swap.  Delete
+        markers persist in the ``__mor_del`` column; ``read()``
+        resolves winners, ``compact()`` folds the log.
+        """
+        if mode not in ("replace", "lww"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        base = self._current_version()
+        m = self.manifest()
+        if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
+            return {"skipped": True, "reason": "batch already committed"}
+        existing_modes = {s["mode"] for s in m.get("segments", [])}
+        if existing_modes and existing_modes != {mode}:
+            self.compact()
+            base = self._current_version()
+            m = self.manifest()
+
+        table_cols = [f.name for f in self.schema.fields]
+        scope = scope_keys or m["key_cols"]
+        out = batch.withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in scope]), F.lit(m["n_buckets"])
+            ).cast("int"),
+        )
+        if delete_col is not None and delete_col in batch.columns:
+            out = out.withColumn(
+                MOR_DELETE_COL, F.coalesce(F.col(delete_col), F.lit(False))
+            )
+        else:
+            out = out.withColumn(MOR_DELETE_COL, F.lit(False))
+        out = out.select(*table_cols, BUCKET_COL, MOR_DELETE_COL)
+
+        commit_id = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(out, commit_id)
+        return self.commit_segment(new_files, mode, scope, batch_id, writer_id)
+
+    def commit_segment(
+        self,
+        files_by_bucket: dict[str, list[str]],
+        mode: str,
+        scope_keys: list[str],
+        batch_id: int | None = None,
+        writer_id: str = "default",
+        _base: int | None = None,
+    ) -> dict:
+        """Append already-written data files as a delta segment (the
+        metadata half of a MOR commit — lets a caller write MANY
+        tables' segments in one Spark job, then commit each manifest)."""
+        base = self._current_version() if _base is None else _base
+        m = self.manifest()
+        if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
+            return {"skipped": True, "reason": "batch already committed"}
+        existing_modes = {s["mode"] for s in m.get("segments", [])}
+        if existing_modes and existing_modes != {mode}:
+            self.compact()
+            base = self._current_version()
+            m = self.manifest()
+        if not files_by_bucket:
+            if batch_id is not None:
+                m["last_committed_batch_id"][writer_id] = batch_id
+                self._commit(base, m)
+            return {"skipped": True, "reason": "empty batch"}
+        m.setdefault("segments", []).append(
+            {
+                "id": uuid.uuid4().hex[:12],
+                "mode": mode,
+                "scope_keys": list(scope_keys),
+                "files": files_by_bucket,
+            }
+        )
+        if batch_id is not None:
+            m["last_committed_batch_id"][writer_id] = batch_id
+        self._commit(base, m)
+        return {
+            "skipped": False,
+            "strategy": "mor",
+            "segments": len(m["segments"]),
+            "version": m["version"],
+        }
+
+    def compact(self) -> dict:
+        """Fold delta segments into the base (the maintenance half of
+        merge-on-read — Iceberg's rewrite_data_files).  Read
+        amplification returns to zero; safe to run any time."""
+        m = self.manifest()
+        if not m.get("segments"):
+            return {"skipped": True, "reason": "no segments"}
+        base = self._current_version()
+        state = self.read()  # reconciled, carries BUCKET_COL
+        commit_id = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(state, commit_id)
+        m["files"] = new_files
+        m["segments"] = []
+        self._commit(base, m)
+        return {"skipped": False, "version": m["version"]}
+
     def delete_where_keys(
         self,
         keys_df: DataFrame,
@@ -342,6 +560,8 @@ class LakeTable:
         """Tombstone apply: delete every row matching the key set —
         the reference wipes matching rows from all topic tables
         (``JdbcDbWriter.java:130-198``)."""
+        if self.manifest().get("segments"):
+            self.compact()  # the COW rewrite below only touches base files
         m = self.manifest()
         base = self._current_version()
         if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
@@ -408,6 +628,10 @@ class LakeTable:
         """Delete data files unreferenced by the current snapshot."""
         m = self.manifest()
         live = {os.path.abspath(p) for fl in m["files"].values() for p in fl}
+        for seg in m.get("segments", []):
+            live |= {
+                os.path.abspath(p) for fl in seg["files"].values() for p in fl
+            }
         removed = 0
         for root, _dirs, fs in os.walk(self._data_dir):
             for f in fs:

@@ -29,12 +29,15 @@ Semantics preserved:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lake.table import SEQ_COL, LakeTable
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from ..lake.table import BUCKET_COL, MOR_DELETE_COL, SEQ_COL, LakeTable
 from ..plans.flatten_plan import FlattenPlan, TableSpec
 from .explode import flatten_table
 from .lww import lww_reduce_broadcast
@@ -76,7 +79,12 @@ class CdcApplier:
             )
 
     # ------------------------------------------------------------------
-    def apply_batch(self, changelog: DataFrame, batch_id: int | None = None) -> dict:
+    def apply_batch(
+        self,
+        changelog: DataFrame,
+        batch_id: int | None = None,
+        strategy: str = "mor",
+    ) -> dict:
         """Flatten + MERGE one micro-batch.  Returns per-table stats."""
         plan = self.plan
         key_cols = [c for c in plan.key_pk_columns]
@@ -112,29 +120,19 @@ class CdcApplier:
         deletes = reduced.filter(is_del)
 
         stats: dict[str, dict] = {}
+        if strategy == "mor":
+            try:
+                stats = self._apply_mor_union(upserts, deletes, batch_id)
+                reduced.unpersist()
+                return stats
+            except AnalysisException:
+                # same-name/different-type columns across tables break
+                # the union fast path — fall back to per-table merges
+                pass
 
         def _merge_one(spec: TableSpec) -> tuple[str, dict]:
             table = self.tables[spec.table_name]
-            flat = flatten_table(upserts, spec, carry_cols=("seq",)).withColumn(
-                DELETE_COL, F.lit(False)
-            )
-            # tombstone rows: key PKs + nulls, flagged for delete
-            del_rows = deletes.select(
-                *self._key_exprs(spec),
-                F.col("seq"),
-                F.lit(True).alias(DELETE_COL),
-            )
-            key_names = set(spec.key_merge_keys)
-            sel = []
-            for cs in spec.columns:
-                if cs.out_name in key_names:
-                    sel.append(F.col(cs.out_name).cast(cs.dtype).alias(cs.out_name))
-                else:
-                    sel.append(F.lit(None).cast(cs.dtype).alias(cs.out_name))
-            del_full = del_rows.select(*sel, F.col("seq"), F.col(DELETE_COL))
-            batch_rows = flat.withColumnRenamed("seq", SEQ_COL).unionByName(
-                del_full.withColumnRenamed("seq", SEQ_COL)
-            )
+            batch_rows = self._batch_rows(spec, upserts, deletes)
             scope = list(spec.key_merge_keys) or list(spec.merge_keys)
             return spec.table_name, table.merge(
                 batch_rows,
@@ -143,6 +141,7 @@ class CdcApplier:
                 delete_col=DELETE_COL,
                 batch_id=batch_id,
                 writer_id=spec.table_name,
+                strategy=strategy,
             )
 
         # Target tables are independent — submit their MERGEs as
@@ -156,6 +155,120 @@ class CdcApplier:
             for name, st in pool.map(_merge_one, plan.tables):
                 stats[name] = st
         reduced.unpersist()
+        return stats
+
+    def _batch_rows(self, spec: TableSpec, upserts: DataFrame, deletes: DataFrame) -> DataFrame:
+        """Flattened upsert rows ∪ tombstone marker rows for one table."""
+        flat = flatten_table(upserts, spec, carry_cols=("seq",)).withColumn(
+            DELETE_COL, F.lit(False)
+        )
+        # tombstone rows: key PKs + nulls, flagged for delete
+        del_rows = deletes.select(
+            *self._key_exprs(spec),
+            F.col("seq"),
+            F.lit(True).alias(DELETE_COL),
+        )
+        key_names = set(spec.key_merge_keys)
+        sel = []
+        for cs in spec.columns:
+            if cs.out_name in key_names:
+                sel.append(F.col(cs.out_name).cast(cs.dtype).alias(cs.out_name))
+            else:
+                sel.append(F.lit(None).cast(cs.dtype).alias(cs.out_name))
+        del_full = del_rows.select(*sel, F.col("seq"), F.col(DELETE_COL))
+        return flat.withColumnRenamed("seq", SEQ_COL).unionByName(
+            del_full.withColumnRenamed("seq", SEQ_COL)
+        )
+
+    def _apply_mor_union(
+        self, upserts: DataFrame, deletes: DataFrame, batch_id: int | None
+    ) -> dict:
+        """All tables' delta segments in ONE write job.
+
+        Each target table's batch rows get a ``__tbl`` discriminator
+        and union by name (missing columns → null; parquet nulls cost
+        ~nothing), then a single shuffle on (table, bucket) writes
+        every segment file.  Per micro-batch this collapses
+        ``n_tables`` write jobs (plus their plan/schedule latency, the
+        dominant cost of small triggers) into one; the per-table
+        manifest commits stay independent, so exactly-once semantics
+        per table are unchanged (a crash between commits is healed by
+        per-writer batch-id dedup on replay).
+        """
+        plan = self.plan
+        tbl_part, bucket_part = "__tbl_p", BUCKET_COL + "_p"
+        if batch_id is not None and all(
+            batch_id <= self.tables[s.table_name].last_batch_id(s.table_name)
+            for s in plan.tables
+        ):
+            return {
+                s.table_name: {"skipped": True, "reason": "batch already committed"}
+                for s in plan.tables
+            }
+
+        parts = []
+        for spec in plan.tables:
+            t = self.tables[spec.table_name]
+            scope = list(spec.key_merge_keys) or list(spec.merge_keys)
+            n_buckets = t.manifest()["n_buckets"]
+            rows = (
+                self._batch_rows(spec, upserts, deletes)
+                .withColumn(
+                    BUCKET_COL,
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in scope]), F.lit(n_buckets)
+                    ).cast("int"),
+                )
+                .withColumn(
+                    MOR_DELETE_COL, F.coalesce(F.col(DELETE_COL), F.lit(False))
+                )
+                .drop(DELETE_COL)
+                .withColumn("__tbl", F.lit(spec.table_name))
+            )
+            parts.append(rows)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p, allowMissingColumns=True)
+
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.warehouse, "_commits", f"commit-{commit_id}")
+        (
+            big.withColumn(tbl_part, F.col("__tbl"))
+            .withColumn(bucket_part, F.col(BUCKET_COL))
+            .repartition(F.col("__tbl"), F.col(BUCKET_COL))
+            .write.partitionBy(tbl_part, bucket_part)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files_by_table: dict[str, dict[str, list[str]]] = {}
+        if os.path.isdir(out_dir):
+            for d1 in os.listdir(out_dir):
+                if not d1.startswith(f"{tbl_part}="):
+                    continue
+                tname = d1.split("=", 1)[1]
+                for d2 in os.listdir(os.path.join(out_dir, d1)):
+                    if not d2.startswith(f"{bucket_part}="):
+                        continue
+                    b = d2.split("=", 1)[1]
+                    bdir = os.path.join(out_dir, d1, d2)
+                    fl = [
+                        os.path.join(bdir, f)
+                        for f in os.listdir(bdir)
+                        if f.endswith(".parquet")
+                    ]
+                    if fl:
+                        files_by_table.setdefault(tname, {})[b] = fl
+
+        stats = {}
+        for spec in plan.tables:
+            scope = list(spec.key_merge_keys) or list(spec.merge_keys)
+            stats[spec.table_name] = self.tables[spec.table_name].commit_segment(
+                files_by_table.get(spec.table_name, {}),
+                mode="replace",
+                scope_keys=scope,
+                batch_id=batch_id,
+                writer_id=spec.table_name,
+            )
         return stats
 
     def _key_exprs(self, spec: TableSpec):

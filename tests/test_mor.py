@@ -1,0 +1,141 @@
+"""Merge-on-read lake-table tests: delta segments, reconciliation,
+compaction, vacuum, and the CdcApplier union-write fast path."""
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_jdbc_flatten_spark.lake.table import SEQ_COL, LakeTable
+
+TS = datetime.datetime(2024, 1, 1)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField(SEQ_COL, T.LongType(), True),
+    ]
+)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def state(t):
+    return sorted((r.k, r.v) for r in t.read().collect())
+
+
+def test_mor_lww_segments_and_compact(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=4)
+    t.merge(mk(spark, [(1, "a", 1), (2, "b", 1)]), mode="lww", batch_id=0)
+    t.merge(mk(spark, [(2, "b2", 2), (3, "c", 2)]), mode="lww", batch_id=1)
+    assert len(t.manifest()["segments"]) == 2
+    assert state(t) == [(1, "a"), (2, "b2"), (3, "c")]
+    # compact folds segments, state unchanged
+    t.compact()
+    assert t.manifest()["segments"] == []
+    assert state(t) == [(1, "a"), (2, "b2"), (3, "c")]
+    # vacuum after compact drops the orphaned segment files
+    removed = t.vacuum()
+    assert removed > 0
+    assert state(t) == [(1, "a"), (2, "b2"), (3, "c")]
+
+
+def test_mor_out_of_order_seq_within_lww(spark, tmp_path):
+    # a LATER segment with a LOWER seq must still win? No — lww order
+    # is (segment, seq): commit order is the apply order, and within a
+    # segment seq decides.  Cross-segment the newest commit wins.
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=2)
+    t.merge(mk(spark, [(1, "new", 9)]), mode="lww", batch_id=0)
+    t.merge(mk(spark, [(1, "newer", 3)]), mode="lww", batch_id=1)
+    assert state(t) == [(1, "newer")]
+
+
+def test_mor_replace_scope_delete(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=4)
+    df1 = mk(spark, [(1, "a0", 1), (1, "a1", 1), (2, "b0", 1)]).withColumn(
+        "__del", F.lit(False)
+    )
+    t.merge(df1, mode="replace", scope_keys=["k"], delete_col="__del", batch_id=0)
+    # whole-image replacement: key 1 shrinks to ONE row
+    df2 = mk(spark, [(1, "a0x", 2)]).withColumn("__del", F.lit(False))
+    t.merge(df2, mode="replace", scope_keys=["k"], delete_col="__del", batch_id=1)
+    assert state(t) == [(1, "a0x"), (2, "b0")]
+    # tombstone marker wipes the scope
+    df3 = mk(spark, [(2, None, 3)]).withColumn("__del", F.lit(True))
+    t.merge(df3, mode="replace", scope_keys=["k"], delete_col="__del", batch_id=2)
+    assert state(t) == [(1, "a0x")]
+    t.compact()
+    assert state(t) == [(1, "a0x")]
+
+
+def test_mor_exactly_once_and_cow_interop(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=2)
+    b = mk(spark, [(1, "a", 1)])
+    t.merge(b, mode="lww", batch_id=0)
+    v = t.manifest()["version"]
+    assert t.merge(b, mode="lww", batch_id=0)["skipped"]
+    assert t.manifest()["version"] == v
+    # a cow merge auto-compacts the pending segments first
+    t.merge(mk(spark, [(2, "b", 2)]), mode="lww", batch_id=1, strategy="cow")
+    assert t.manifest()["segments"] == []
+    assert state(t) == [(1, "a"), (2, "b")]
+
+
+def test_schema_evolution_with_segments(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=2)
+    t.merge(mk(spark, [(1, "a", 1)]), mode="lww", batch_id=0)
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)]
+    )
+    t.evolve_schema(evolved)
+    rows = t.read().collect()
+    assert rows[0].extra is None  # old segment files read with nulls
+    b2 = spark.createDataFrame([(2, "b", 2, "x")], evolved)
+    t.merge(b2, mode="lww", batch_id=1)
+    got = {r.k: r.extra for r in t.read().collect()}
+    assert got == {1: None, 2: "x"}
+
+
+def test_union_write_commit_dir_layout(spark, tmp_path):
+    """The CdcApplier MOR fast path writes every table's segment in one
+    job under _commits/ and each manifest references its slice."""
+    from kafka_connect_jdbc_flatten_spark.operators.merge import CdcApplier
+    from kafka_connect_jdbc_flatten_spark.plans import compile_flatten_plan
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        CHANGELOG_SCHEMA,
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config,
+    )
+
+    plan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config(),
+        value_record_name="Conversation",
+        key_record_name="ConversationKey",
+    )
+    wh = str(tmp_path / "wh")
+    ap = CdcApplier(spark, wh, plan, n_buckets=4)
+    rows = [
+        (
+            "transcripts", 0, 1, TS, "CreateTime", ("c1",), None,
+            ("c1", [(0, "u", "hi", "", TS)]), "c", 1, TS,
+        )
+    ]
+    stats = ap.apply_batch(
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA), batch_id=0
+    )
+    assert all(st.get("strategy") == "mor" for st in stats.values()), stats
+    commits = os.listdir(os.path.join(wh, "_commits"))
+    assert len(commits) == 1  # ONE write job for both tables
+    for name, table in ap.tables.items():
+        seg_files = table.manifest()["segments"][0]["files"]
+        for fl in seg_files.values():
+            for f in fl:
+                assert "_commits" in f and os.path.exists(f)
+    assert ap.read("transcripts_conversation_turns").count() == 1
