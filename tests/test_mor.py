@@ -139,3 +139,66 @@ def test_union_write_commit_dir_layout(spark, tmp_path):
             for f in fl:
                 assert "_commits" in f and os.path.exists(f)
     assert ap.read("transcripts_conversation_turns").count() == 1
+
+
+def test_crash_between_table_commits_heals_on_replay(spark, tmp_path):
+    """SURVEY §7 hard part (c): the union write commits each table's
+    manifest independently — a crash after table A committed but
+    before table B must heal on micro-batch redelivery: A skips
+    (batch-id dedup), B applies, final state exact."""
+    from kafka_connect_jdbc_flatten_spark.operators.merge import CdcApplier
+    from kafka_connect_jdbc_flatten_spark.plans import compile_flatten_plan
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        CHANGELOG_SCHEMA,
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config,
+    )
+
+    plan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config(),
+        value_record_name="Conversation",
+        key_record_name="ConversationKey",
+    )
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    batch = spark.createDataFrame(
+        [
+            (
+                "transcripts", 0, 1, TS, "CreateTime", ("c1",), None,
+                ("c1", [(0, "u", "hi", "", TS), (1, "a", "yo", "", TS)]),
+                "c", 1, TS,
+            )
+        ],
+        CHANGELOG_SCHEMA,
+    )
+    # crash injection: the turns table's commit raises AFTER the root
+    # table's commit succeeded
+    turns = ap.tables["transcripts_conversation_turns"]
+    orig = turns.commit_segment
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before turns-table commit")
+
+    turns.commit_segment = boom
+    try:
+        try:
+            ap.apply_batch(batch, batch_id=0)
+            raise AssertionError("expected simulated crash")
+        except RuntimeError:
+            pass
+        # root committed, turns did not
+        assert ap.tables["transcripts_conversation"].last_batch_id(
+            "transcripts_conversation"
+        ) == 0
+        assert turns.last_batch_id("transcripts_conversation_turns") == -1
+    finally:
+        turns.commit_segment = orig
+
+    # redelivery of the same micro-batch (streaming replay after crash)
+    stats = ap.apply_batch(batch, batch_id=0)
+    assert stats["transcripts_conversation"]["skipped"]
+    assert not stats["transcripts_conversation_turns"]["skipped"]
+    assert ap.read("transcripts_conversation").count() == 1
+    assert ap.read("transcripts_conversation_turns").count() == 2
