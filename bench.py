@@ -71,6 +71,12 @@ def main():
         step = (mx - mn + N_MICROBATCHES) // N_MICROBATCHES
         bounds = [mn + step * i for i in range(1, N_MICROBATCHES)]
 
+        # untimed warmup (JIT/codec init; see BENCH.md noise notes)
+        warm_wh = os.path.join(tmp, "warm_wh")
+        warm = CdcApplier(spark, warm_wh, E._transcript_plan(), n_buckets=32)
+        warm.apply_batch(feed_df.filter(F.col("seq") <= mn + step // 8), batch_id=0)
+        shutil.rmtree(warm_wh, ignore_errors=True)
+
         # ---------- headline: sustained MERGE-apply replay ----------
         wh = os.path.join(tmp, "wh")
         applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
