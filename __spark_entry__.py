@@ -721,6 +721,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH candidates + exact
+    cosine verify.  Approximate (no oracle); precision-1 and recall vs
+    the exact form asserted in tests/test_windows.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs_lsh(
+        emb, threshold=0.4, dim=64, n_planes=4, n_tables=8
+    )
+
+
 EMB_NEARDUP_SQL = SIM.embedding_neardup_pairs_sql("embeddings", threshold=0.4)
 
 
@@ -804,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
     }

@@ -48,6 +48,7 @@ class StreamingIngest:
         n_buckets: int = 16,
         max_files_per_trigger: int | None = None,
         schema=None,
+        compact_every: int | None = 16,
     ):
         self.spark = spark
         self.changelog_dir = changelog_dir
@@ -56,6 +57,10 @@ class StreamingIngest:
         self.schema = schema or CHANGELOG_SCHEMA
         self.max_files_per_trigger = max_files_per_trigger
         self.applier = CdcApplier(spark, warehouse, plan, n_buckets)
+        # bound merge-on-read amplification: fold delta segments back
+        # into the base every `compact_every` micro-batches (Iceberg's
+        # rewrite_data_files maintenance, inline for a single writer)
+        self.compact_every = compact_every
         self.lineage_dir = os.path.join(warehouse, "_lineage")
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.batch_stats: list[dict] = []
@@ -76,6 +81,10 @@ class StreamingIngest:
         )
         n_rows = sum(r["rows"] for r in lineage_rows)
         stats = self.applier.apply_batch(batch_df, batch_id=batch_id)
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            for table in self.applier.tables.values():
+                table.compact()
+                table.vacuum()
         record = {
             "batch_id": batch_id,
             "rows": n_rows,
