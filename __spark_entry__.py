@@ -726,8 +726,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine verify.  Approximate (no oracle); precision-1 and recall vs
     the exact form asserted in tests/test_windows.py."""
     emb = _read(spark, sf_dir, "embeddings")
+    # n_tables=4 keeps the compiled expression tree (tables × planes
+    # literal hyperplanes) small enough for fast Catalyst analysis at
+    # driver-check scale; production dedup at tau~0.9 uses the 6x8
+    # defaults
     return SIM.embedding_neardup_pairs_lsh(
-        emb, threshold=0.4, dim=64, n_planes=4, n_tables=8
+        emb, threshold=0.4, dim=64, n_planes=4, n_tables=4
     )
 
 
