@@ -75,10 +75,14 @@ def lww_reduce_broadcast(
     before/after images): the window form shuffles every byte of every
     duplicate; the max_by form still moves one full row per key per
     map task; this form moves none — the big side stays a narrow scan.
-    Requires (a) the order tuple to be unique per key (binlog ``seq``
-    is), else ties all survive, and (b) a winner set that fits in a
-    broadcast (distinct keys per micro-batch — bounded by trigger
-    size; ~50 MB per 10⁶ keys).
+    Requires a winner set that fits in a broadcast (distinct keys per
+    micro-batch — bounded by trigger size; ~50 MB per 10⁶ keys); use
+    ``lww_reduce_auto`` when key cardinality is unbounded.
+
+    Exact redelivered duplicates (at-least-once / overlapping binlog
+    segments — the case ``streaming.stateful`` documents) tie on
+    ``(keys, order_cols)`` and BOTH pass the semi join, so ties are
+    collapsed to one row afterwards, matching the window form.
     """
     packed = F.struct(
         *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)]
@@ -91,4 +95,78 @@ def lww_reduce_broadcast(
             *[F.col(f"__w.__o{i}").alias(c) for i, c in enumerate(order_cols)],
         )
     )
-    return df.join(F.broadcast(winners), on=[*keys, *order_cols], how="left_semi")
+    out = df.join(F.broadcast(winners), on=[*keys, *order_cols], how="left_semi")
+    # collapse (key, order) ties — identical redelivered records — to a
+    # single image; the dedup shuffle only carries winner rows (≤1 per
+    # key + redelivered twins), not the whole batch
+    return out.dropDuplicates([*keys, *order_cols])
+
+
+def lww_reduce_auto(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str] = ("ts", "seq"),
+    max_broadcast_keys: int = 2_000_000,
+) -> tuple[DataFrame, int]:
+    """Cardinality-guarded LWW: broadcast-winner form while the winner
+    set fits a broadcast, ``max_by`` aggregate form beyond it.
+
+    The winner set (keys + order tuple, map-side combined — never the
+    row body) is computed and counted first; that count is the actual
+    broadcast size, so the guard measures rather than guesses.  At
+    ~50 MB per 10⁶ keys the 2 M default keeps the broadcast ≲100 MB.
+    An unbounded backfill batch (the whole changelog as batch 0) takes
+    the aggregate path instead of OOMing the driver.
+
+    Returns ``(reduced_df, n_keys)`` — ``reduced_df`` is persisted and
+    already materialized (the winner cache is released once the probe
+    has run); the caller unpersists it when done.
+    """
+    packed = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)]
+    )
+    winners = (
+        df.groupBy(*keys)
+        .agg(F.max(packed).alias("__w"))
+        .select(
+            *keys,
+            *[F.col(f"__w.__o{i}").alias(c) for i, c in enumerate(order_cols)],
+        )
+        .persist()
+    )
+    n_keys = winners.count()
+    if n_keys > max_broadcast_keys:
+        out = lww_reduce_agg(df, list(keys), list(order_cols)).persist()
+        out.count()
+        winners.unpersist()
+        return out, n_keys
+
+    semi = df.join(
+        F.broadcast(winners), on=[*keys, *order_cols], how="left_semi"
+    ).persist()
+    # tie detection stays narrow: a map-side-combined count over keys
+    # only — a blanket dropDuplicates here would re-shuffle every
+    # winner BODY, undoing the zero-payload-shuffle property this form
+    # exists for.  Only keys with >1 surviving row (redelivered
+    # identical records) pay the dedup shuffle.
+    tie_keys = (
+        semi.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select(*keys)
+        .persist()
+    )
+    n_ties = tie_keys.count()  # also materializes semi
+    if n_ties == 0:
+        out = semi
+    else:
+        clean = semi.join(F.broadcast(tie_keys), on=list(keys), how="left_anti")
+        deduped = semi.join(
+            F.broadcast(tie_keys), on=list(keys), how="left_semi"
+        ).dropDuplicates([*keys, *order_cols])
+        out = clean.unionByName(deduped).persist()
+        out.count()
+        semi.unpersist()
+    tie_keys.unpersist()
+    winners.unpersist()
+    return out, n_keys

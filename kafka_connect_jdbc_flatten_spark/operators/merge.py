@@ -40,9 +40,25 @@ from pyspark.errors.exceptions.captured import AnalysisException
 from ..lake.table import BUCKET_COL, MOR_DELETE_COL, SEQ_COL, LakeTable
 from ..plans.flatten_plan import FlattenPlan, TableSpec
 from .explode import flatten_table
-from .lww import lww_reduce_broadcast
+from .lww import lww_reduce_auto
 
 DELETE_COL = "__is_delete"
+
+
+def _union_compatible(plan: FlattenPlan) -> bool:
+    """True iff every column name shared by two target tables has the
+    SAME dataType.  ``unionByName`` silently widens compatible numerics
+    (int ∪ long → long) and the widened parquet would be durably
+    committed as a segment a later ``read()`` (explicit narrower
+    schema) cannot read — so differing types must route to per-table
+    merges BEFORE writing, not via a caught AnalysisException."""
+    types: dict[str, object] = {}
+    for spec in plan.tables:
+        for f in spec.spark_schema.fields:
+            prev = types.setdefault(f.name, f.dataType)
+            if prev != f.dataType:
+                return False
+    return True
 
 
 class CdcApplier:
@@ -60,12 +76,15 @@ class CdcApplier:
         warehouse: str,
         plan: FlattenPlan,
         n_buckets: int = 16,
+        max_broadcast_keys: int = 2_000_000,
     ):
         if not plan.tables:
             raise ValueError("plan has no target tables")
         self.spark = spark
         self.warehouse = warehouse
         self.plan = plan
+        self.max_broadcast_keys = max_broadcast_keys
+        self._union_ok = _union_compatible(plan)
         self.tables: dict[str, LakeTable] = {}
         for spec in plan.tables:
             schema = T.StructType(
@@ -104,30 +123,34 @@ class CdcApplier:
         ]
         changelog = changelog.select(*needed)
         # one image per key per batch: LWW on the binlog order.
-        # Broadcast-winner form: the wide envelope rows (after images)
-        # are NEVER shuffled — only (key, seq) pairs move (a
-        # column-pruned two-column scan), the body is kept by a
-        # broadcast-semi probe.  On a 423 MB/s-disk sandbox the
-        # shuffling forms were IO-bound and didn't scale 8→32 cores at
-        # all; this form leaves the scan embarrassingly parallel.
-        # Persisted: every target table's flatten + its tombstone scan
-        # reads the (small) winner set once instead of re-running the
-        # reduction 2×n_tables times per micro-batch.
-        reduced = lww_reduce_broadcast(changelog, ["key"], ["seq"]).persist()
-        reduced.count()  # materialize once, BEFORE the parallel merges race
+        # Broadcast-winner form while the winner set fits a broadcast:
+        # the wide envelope rows (after images) are NEVER shuffled —
+        # only (key, seq) pairs move (a column-pruned two-column scan),
+        # the body is kept by a broadcast-semi probe.  On a 423 MB/s-
+        # disk sandbox the shuffling forms were IO-bound and didn't
+        # scale 8→32 cores at all; this form leaves the scan
+        # embarrassingly parallel.  Beyond ``max_broadcast_keys``
+        # distinct keys (unbounded backfill batches) the guard falls
+        # back to the max_by aggregate form — one shuffle instead of a
+        # driver-sized broadcast.  The reduced set is persisted:
+        # every target table's flatten + its tombstone scan reads it
+        # instead of re-running the reduction 2×n_tables times.
+        reduced, _n_keys = lww_reduce_auto(
+            changelog, ["key"], ["seq"], self.max_broadcast_keys
+        )
         is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
         upserts = reduced.filter(~is_del)
         deletes = reduced.filter(is_del)
 
         stats: dict[str, dict] = {}
-        if strategy == "mor":
+        if strategy == "mor" and self._union_ok:
             try:
                 stats = self._apply_mor_union(upserts, deletes, batch_id)
                 reduced.unpersist()
                 return stats
             except AnalysisException:
-                # same-name/different-type columns across tables break
-                # the union fast path — fall back to per-table merges
+                # backstop only — _union_ok already routed same-name/
+                # different-type plans to the per-table path below
                 pass
 
         def _merge_one(spec: TableSpec) -> tuple[str, dict]:

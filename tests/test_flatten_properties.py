@@ -6,7 +6,11 @@ compiler's structural invariants over arbitrary nested schemas:
 * every primitive leaf lands in exactly one table, exactly once
 * table split = distinct prefixes up to the LAST array/map container
 * column names unique per table; table names unique per plan
-* nullability = leaf nullable OR last container optional
+* nullability = leaf nullable OR the leaf's IMMEDIATE (innermost)
+  container optional — the reference checks the last container on the
+  ENTRY's path, not the table chain's last container
+  (``FlattenTransformation.java:246``:
+  ``f.getContainer().get(size-1).isOptional()``)
 * coordinates append to every table when enabled
 """
 
@@ -60,6 +64,29 @@ def count_leaves(dtype, in_map_or_array=False) -> int:
     return 1
 
 
+def expected_leaf_nullables(dtype, node_nullable, last_container_optional, out):
+    """Independent mirror of the reference's nullability rule: collect
+    (dtype, expected_nullable) per primitive leaf, where
+    expected_nullable = leaf nullable OR innermost-container optional
+    (``FlattenTransformation.java:246-251`` — ``getContainer()`` is the
+    ENTRY's container list, so ``size-1`` is the leaf's immediate
+    container).  Entering a container node makes that node's own
+    nullability the ``last_container_optional`` for its children."""
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            expected_leaf_nullables(f.dataType, f.nullable, node_nullable, out)
+    elif isinstance(dtype, T.ArrayType):
+        expected_leaf_nullables(
+            dtype.elementType, dtype.containsNull, node_nullable, out
+        )
+    elif isinstance(dtype, T.MapType):
+        expected_leaf_nullables(
+            dtype.valueType, dtype.valueContainsNull, node_nullable, out
+        )
+    else:
+        out.append((dtype.simpleString(), node_nullable or last_container_optional))
+
+
 @settings(max_examples=150, deadline=None)
 @given(struct_strategy(3), st.booleans())
 def test_plan_invariants(value_schema, coordinates):
@@ -77,7 +104,7 @@ def test_plan_invariants(value_schema, coordinates):
     assert len(names) == len(set(names))
 
     coord_cols = set(cfg.coordinate_fields) if coordinates else set()
-    total_leaf_cols = 0
+    leaf_cols = []
     for t in plan.tables:
         cols = [c.out_name for c in t.columns]
         # column names unique per table
@@ -86,15 +113,18 @@ def test_plan_invariants(value_schema, coordinates):
             if c.out_name in coord_cols and c.source[0] == "coord":
                 continue
             if c.source[0] == "leaf":
-                total_leaf_cols += 1
-                # nullability rule: leaf nullable or last container optional
-                if not c.nullable:
-                    assert not t.chain[-1].optional
+                leaf_cols.append((c.dtype.simpleString(), c.nullable))
         if coordinates and cols:
             assert cols[-5:] == list(cfg.coordinate_fields), t.table_name
 
     # every enumerated leaf appears exactly once across all tables
-    assert total_leaf_cols == count_leaves(value_schema)
+    assert len(leaf_cols) == count_leaves(value_schema)
+    # nullability parity: leaf nullable OR immediate-container optional
+    # (FlattenTransformation.java:246) — exact multiset match between the
+    # plan's leaf columns and an independent mirror walk
+    expected = []
+    expected_leaf_nullables(value_schema, False, False, expected)
+    assert sorted(leaf_cols) == sorted(expected)
 
     # table split rule: one table per distinct main-container chain
     chains = {tuple(id(c) for c in t.chain) for t in plan.tables}

@@ -180,3 +180,119 @@ def test_schema_evolution_additive(spark, plan, tmp_path):
         t.evolve_schema(
             T.StructType([T.StructField("req", T.StringType(), False)])
         )
+
+
+def test_redelivered_duplicate_collapses_to_one_row(spark, plan, tmp_path):
+    """At-least-once redelivery inside ONE micro-batch: an exact
+    duplicate envelope (same key, same seq, same image) must collapse
+    to a single row — ties on (key, seq) pass the broadcast-winner
+    semi join and are deduped after (ADVICE r01)."""
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    row = env("c1", [(0, "u", "hi", "t")], "c", 1)
+    ap.apply_batch(mkdf(spark, [row, row]), batch_id=0)
+    assert ap.read("transcripts_conversation_turns").count() == 1
+    assert ap.read("transcripts_conversation").count() == 1
+
+
+def test_lww_broadcast_collapses_exact_duplicates(spark):
+    from kafka_connect_jdbc_flatten_spark.operators.lww import (
+        lww_reduce_broadcast,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "a"), (1, 3, "old"), (2, 1, "b")],
+        "key long, seq long, v string",
+    )
+    out = lww_reduce_broadcast(df, ["key"], ["seq"]).collect()
+    assert sorted((r.key, r.seq, r.v) for r in out) == [(1, 5, "a"), (2, 1, "b")]
+
+
+def test_lww_auto_cardinality_guard(spark):
+    """lww_reduce_auto: broadcast form under the key threshold, max_by
+    aggregate fallback above it — identical results either way."""
+    from kafka_connect_jdbc_flatten_spark.operators.lww import (
+        lww_reduce,
+        lww_reduce_auto,
+    )
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 10_000).alias("key"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    expect = sorted(lww_reduce(df, ["key"], ["seq"]).collect())
+    bcast, n1 = lww_reduce_auto(df, ["key"], ["seq"], max_broadcast_keys=100_000)
+    fallb, n2 = lww_reduce_auto(df, ["key"], ["seq"], max_broadcast_keys=100)
+    assert n1 == n2 == 10_000
+    assert sorted(bcast.collect()) == expect
+    assert sorted(fallb.collect()) == expect
+    bcast.unpersist()
+    fallb.unpersist()
+
+
+def test_mixed_type_plans_route_to_per_table_merge(spark, tmp_path):
+    """Two target tables sharing a column NAME with different TYPES
+    (int vs long) must take the per-table merge path: unionByName
+    would silently widen the int column and durably commit parquet a
+    later explicit-schema read() cannot open (ADVICE r01)."""
+    import os
+
+    from kafka_connect_jdbc_flatten_spark.config import FlattenConfig
+
+    value_schema = T.StructType(
+        [
+            T.StructField("x", T.LongType(), True),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("x", T.IntegerType(), True),
+                            T.StructField("item_id", T.LongType(), True),
+                        ]
+                    ),
+                    True,
+                ),
+                True,
+            ),
+        ]
+    )
+    key_schema = T.StructType([T.StructField("rid", T.LongType(), False)])
+    cfg = FlattenConfig(
+        topic="m", pk_mode="flatten", delete_enabled=True, pk_fields=("rkey.rid",)
+    )
+    mixed_plan = compile_flatten_plan(
+        key_schema, value_schema, cfg, value_record_name="RV", key_record_name="RKey"
+    )
+    ch_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType(), False),
+            T.StructField("partition", T.IntegerType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("timestamp_type", T.StringType(), True),
+            T.StructField("key", key_schema, False),
+            T.StructField("before", value_schema, True),
+            T.StructField("value", value_schema, True),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    wh = str(tmp_path / "wh")
+    ap = CdcApplier(spark, wh, mixed_plan, n_buckets=2)
+    assert not ap._union_ok
+    batch = spark.createDataFrame(
+        [("m", 0, 1, TS, "CreateTime", (1,), None, (10, [(7, 100)]), "c", 1, TS)],
+        ch_schema,
+    )
+    ap.apply_batch(batch, batch_id=0)
+    # union fast path not taken — nothing under _commits/
+    assert not os.path.exists(os.path.join(wh, "_commits"))
+    root = ap.read("m_rv")
+    items = ap.read("m_rv_items")
+    # declared types survive the commit and the read
+    assert root.schema["x"].dataType == T.LongType()
+    assert items.schema["x"].dataType == T.IntegerType()
+    assert [(r.rkey_rid, r.x) for r in root.collect()] == [(1, 10)]
+    assert [(r.rkey_rid, r.x, r.item_id) for r in items.collect()] == [(1, 7, 100)]
