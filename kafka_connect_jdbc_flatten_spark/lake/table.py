@@ -645,3 +645,48 @@ class LakeTable:
             if os.path.isdir(d) and not any(os.scandir(d)):
                 shutil.rmtree(d, ignore_errors=True)
         return removed
+
+
+def gc_unreferenced(roots: list[str], tables: list["LakeTable"]) -> int:
+    """Warehouse-level GC: delete parquet files under ``roots`` not
+    referenced by ANY table's current snapshot (base files or delta
+    segments), then prune empty directories.
+
+    Needed because the union write path lands multi-table segment
+    files under a shared ``warehouse/_commits/`` directory OUTSIDE
+    every table's data dir — per-table ``vacuum()`` never walks there,
+    so after ``compact()`` those files would be orphaned forever
+    (unbounded disk growth on the default streaming path).
+    """
+    live: set[str] = set()
+    for t in tables:
+        m = t.manifest()
+        live |= {os.path.abspath(p) for fl in m["files"].values() for p in fl}
+        for seg in m.get("segments", []):
+            live |= {
+                os.path.abspath(p) for fl in seg["files"].values() for p in fl
+            }
+    removed = 0
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for r, _dirs, fs in os.walk(root):
+            for f in fs:
+                p = os.path.abspath(os.path.join(r, f))
+                if p.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed += 1
+        # a commit dir holding no live parquet anymore is dead wholesale
+        # (only _SUCCESS markers and empty partition dirs remain)
+        for entry in os.listdir(root):
+            d = os.path.join(root, entry)
+            if not os.path.isdir(d):
+                continue
+            has_live = any(
+                os.path.abspath(os.path.join(r, f)) in live
+                for r, _dirs, fs in os.walk(d)
+                for f in fs
+            )
+            if not has_live:
+                shutil.rmtree(d, ignore_errors=True)
+    return removed

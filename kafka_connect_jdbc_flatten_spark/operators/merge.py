@@ -302,5 +302,23 @@ class CdcApplier:
             exprs.append(base.cast(c.dtype).alias(c.out_name))
         return exprs
 
+    def maintain(self) -> dict:
+        """Periodic maintenance: compact every table's delta log, then
+        vacuum per-table data dirs AND the shared ``_commits/`` dir the
+        union write path lands segments in (per-table vacuum never
+        walks it — without this the compacted segments' files leak
+        forever)."""
+        from ..lake.table import gc_unreferenced
+
+        stats = {"compacted": 0, "vacuumed_files": 0}
+        for table in self.tables.values():
+            if not table.compact().get("skipped"):
+                stats["compacted"] += 1
+            stats["vacuumed_files"] += table.vacuum()
+        stats["vacuumed_files"] += gc_unreferenced(
+            [os.path.join(self.warehouse, "_commits")], list(self.tables.values())
+        )
+        return stats
+
     def read(self, table_name: str) -> DataFrame:
         return self.tables[table_name].read().drop("__bucket", SEQ_COL)

@@ -43,6 +43,12 @@ class TablePoller:
     inc_col: str | None = "seq"
     batch_max_rows: int = 100
     timestamp_delay_ms: int = 0
+    # first-poll offset seeding (``timestamp.initial``,
+    # ``JdbcSourceTask.java:280-309``, ``JdbcSourceConnectorConfig.java:
+    # 178-184``): a datetime starts the tail AFTER that instant;
+    # "current" (the reference's -1) starts at poll time, skipping
+    # history.  Ignored once an offset exists.
+    timestamp_initial: datetime.datetime | str | None = None
     offset: dict = field(default_factory=dict)  # {"timestamp": iso, "incrementing": int}
 
     def __post_init__(self):
@@ -63,6 +69,12 @@ class TablePoller:
         ts = self.offset.get("timestamp")
         if isinstance(ts, str):
             ts = datetime.datetime.fromisoformat(ts)
+        if ts is None and self.timestamp_initial is not None:
+            ts = (
+                datetime.datetime.now()
+                if self.timestamp_initial == "current"
+                else self.timestamp_initial
+            )
         return ts, self.offset.get("incrementing")
 
     def poll(
@@ -80,6 +92,13 @@ class TablePoller:
         if self.mode == "bulk":
             return df
 
+        # the late-transaction guard must hold even when the caller
+        # passes no end bound — the reference ALWAYS bounds by current
+        # DB time minus the delay (endTimetampValue,
+        # TimestampIncrementingTableQuerier.java:208-214)
+        if self.timestamp_delay_ms > 0 and end_ts is None and self.ts_col:
+            end_ts = datetime.datetime.now()
+
         last_ts, last_inc = self._last()
         if self.ts_col and last_ts is None:
             last_ts = datetime.datetime(1970, 1, 1)
@@ -93,6 +112,21 @@ class TablePoller:
         )
         order = [F.col(c).asc() for c in (self.ts_col, self.inc_col) if c]
         batch = filtered.orderBy(*order).limit(self.batch_max_rows)
+
+        if self.mode == "timestamp":
+            # timestamp-only offsets are NOT a total order: rows can
+            # share the boundary ts, and the next poll's predicate is
+            # strictly ``ts > last`` — advancing the offset into a
+            # timestamp whose rows were cut off by the LIMIT would skip
+            # them forever.  The reference never loses these because it
+            # chunks one open ResultSet; our analogue is to extend the
+            # batch to ALL rows at the boundary ts (may exceed
+            # batch_max_rows by the boundary group size).
+            boundary = batch.agg(F.max(self.ts_col)).collect()[0][0]
+            if boundary is None:
+                return batch  # empty
+            self.offset["timestamp"] = boundary.isoformat()
+            return filtered.filter(F.col(self.ts_col) <= F.lit(boundary))
 
         # advance the offset to the max (ts, inc) of the batch — one
         # tiny aggregate, the Spark analogue of per-row extractValues

@@ -82,9 +82,8 @@ class StreamingIngest:
         n_rows = sum(r["rows"] for r in lineage_rows)
         stats = self.applier.apply_batch(batch_df, batch_id=batch_id)
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-            for table in self.applier.tables.values():
-                table.compact()
-                table.vacuum()
+            # compact + vacuum incl. the shared _commits/ segment dir
+            self.applier.maintain()
         record = {
             "batch_id": batch_id,
             "rows": n_rows,

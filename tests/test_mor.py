@@ -202,3 +202,49 @@ def test_crash_between_table_commits_heals_on_replay(spark, tmp_path):
     assert not stats["transcripts_conversation_turns"]["skipped"]
     assert ap.read("transcripts_conversation").count() == 1
     assert ap.read("transcripts_conversation_turns").count() == 2
+
+
+def test_maintain_gcs_orphaned_union_segment_files(spark, tmp_path):
+    """Union-write segments live under warehouse/_commits/, OUTSIDE
+    every table's data dir; per-table vacuum never walks there, so
+    compaction used to orphan them forever (ADVICE r01).  maintain()
+    compacts + vacuums + GCs the shared dir."""
+    import glob
+
+    from kafka_connect_jdbc_flatten_spark.operators.merge import CdcApplier
+    from kafka_connect_jdbc_flatten_spark.plans import compile_flatten_plan
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        CHANGELOG_SCHEMA,
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config,
+    )
+
+    plan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config(),
+        value_record_name="Conversation",
+        key_record_name="ConversationKey",
+    )
+    wh = str(tmp_path / "wh")
+    ap = CdcApplier(spark, wh, plan, n_buckets=4)
+    for i in range(3):
+        rows = [
+            (
+                "transcripts", 0, i, TS, "CreateTime", (f"c{i}",), None,
+                (f"c{i}", [(0, "u", f"m{i}", "", TS)]), "c", i, TS,
+            )
+        ]
+        ap.apply_batch(spark.createDataFrame(rows, CHANGELOG_SCHEMA), batch_id=i)
+    commits = os.path.join(wh, "_commits")
+    assert glob.glob(os.path.join(commits, "**", "*.parquet"), recursive=True)
+
+    stats = ap.maintain()
+    assert stats["compacted"] == 2  # both tables had segments
+    # all segment files folded into the base and GC'd — none left
+    assert not glob.glob(os.path.join(commits, "**", "*.parquet"), recursive=True)
+    assert ap.read("transcripts_conversation_turns").count() == 3
+    # second maintain is a no-op
+    assert ap.maintain()["compacted"] == 0
+    assert ap.read("transcripts_conversation").count() == 3

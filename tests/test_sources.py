@@ -103,3 +103,62 @@ def test_validation_splits_and_raises(spark):
     tomb = ("t", 0, 3, TS, "CreateTime", ("c2",), None, None, "d", 3, TS)
     _, bad2 = split_valid(_chg(spark, [ok, tomb]), delete_enabled=False)
     assert bad2.count() == 1
+
+
+def test_poller_timestamp_mode_never_skips_boundary_ts_rows(spark):
+    """Timestamp-only offsets are not a total order: rows sharing the
+    boundary ts cut off by the LIMIT were skipped forever by the old
+    ``ts > last`` predicate (ADVICE r01).  The batch now extends to all
+    rows at the boundary timestamp."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (2, t0 + datetime.timedelta(hours=1)),
+        (3, t0 + datetime.timedelta(hours=1)),
+        (4, t0 + datetime.timedelta(hours=1)),
+        (5, t0 + datetime.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    p = TablePoller(mode="timestamp", ts_col="ts", batch_max_rows=2)
+    seen = []
+    for batch in p.poll_all(df):
+        seen.extend(r.id for r in batch.collect())
+    # first poll: LIMIT 2 would truncate the hour-1 trio — extended to
+    # include all 3 equal-ts rows; nothing skipped, nothing duplicated
+    assert sorted(seen) == [1, 2, 3, 4, 5]
+    assert len(seen) == len(set(seen))
+
+
+def test_poller_delay_guard_active_without_end_ts(spark, events):
+    """timestamp_delay_ms must bound by current time even when the
+    caller passes no end_ts (the reference always bounds by
+    now - delay, TimestampIncrementingTableQuerier.java:208-214)."""
+    ten_years_ms = 10 * 365 * 24 * 3600 * 1000
+    p = TablePoller(
+        mode="timestamp", ts_col="ts", batch_max_rows=10**6,
+        timestamp_delay_ms=ten_years_ms,
+    )
+    # testdata timestamps are in 2024; now - 10y < 2024 ⇒ all held back
+    assert p.poll(events).count() == 0
+    assert "timestamp" not in p.offset  # offset must not advance
+
+
+def test_poller_timestamp_initial_seeds_first_poll(spark, events):
+    """timestamp.initial seeding (JdbcSourceTask.java:280-309): a
+    seeded initial offset starts the tail past that instant; 'current'
+    skips all history."""
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid_dt = lo + (hi - lo) / 2
+    p = TablePoller(
+        mode="timestamp", ts_col="ts", batch_max_rows=10**6,
+        timestamp_initial=mid_dt,
+    )
+    got = p.poll(events)
+    expect = events.filter(F.col("ts") > F.lit(mid_dt)).count()
+    assert got.count() == expect > 0
+
+    cur = TablePoller(
+        mode="timestamp", ts_col="ts", batch_max_rows=10**6,
+        timestamp_initial="current",
+    )
+    assert cur.poll(events).count() == 0  # history skipped
