@@ -134,10 +134,13 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("sz"))
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
+        # broadcast the SMALL side: shingles with df > max_df are the
+        # few hot ones (at corpus scale the df ≤ max_df set is nearly
+        # the whole vocabulary — broadcasting it was the r01 inversion);
+        # anti-join drops candidates touching a hot shingle
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        ex = ex.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), "s").select(
-            "id", "s"
-        )
+        hot = dfreq.filter(F.col("df") > max_df).select("s")
+        ex = ex.join(F.broadcast(hot), "s", "left_anti").select("id", "s")
     # persisted: both sides of the self-join scan it
     ex = ex.persist()
     a = ex.alias("a")

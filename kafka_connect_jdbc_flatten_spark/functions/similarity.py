@@ -186,21 +186,30 @@ def embedding_neardup_pairs_lsh(
             for t in range(n_tables)
         ],
     ).persist()
+    # candidate pairs are generated and deduped BARE — carrying the
+    # vectors through the pair-dedup shuffle moved 2×dim floats per
+    # candidate for nothing (r01 verdict); vectors re-join only for
+    # the exact verify, as minhash_lsh_pairs does with its shingles
     cand = None
     for t in range(n_tables):
-        banded = base.select("id", "v", F.col(f"b{t}").alias("bkt"))
+        banded = base.select("id", F.col(f"b{t}").alias("bkt"))
         a, b = banded.alias("a"), banded.alias("b")
         c = a.join(
             b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id"))
         ).select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.v").alias("v1"),
-            F.col("b.v").alias("v2"),
         )
         cand = c if cand is None else cand.unionByName(c)
+    pairs = cand.dropDuplicates(["id1", "id2"])
+    vecs = base.select("id", "v")
     out = (
-        cand.dropDuplicates(["id1", "id2"])
+        pairs.join(
+            vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1"
+        )
+        .join(
+            vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2"
+        )
         .select(
             "id1",
             "id2",
@@ -262,39 +271,56 @@ def lsh_topk(
     """Approximate top-k: sign-LSH candidate generation + exact rerank.
 
     Candidates = vectors sharing a bucket with the query in ANY of the
-    ``n_tables`` independent hash tables.  The bucket computation is a
-    per-row expression; the candidate join is an equi-join on
-    (table_idx, bucket) — broadcastable because the query side is
-    n_tables·|queries| rows.  Exact cosine only on candidates.
+    ``n_tables`` independent hash tables, expressed as a true
+    **equi-join**: both sides ``posexplode`` to (table_idx, bucket)
+    rows and hash-join on that short key — an OR-of-bucket-equalities
+    join condition would be a BroadcastNestedLoopJoin evaluating every
+    (row, query) pair, the same O(n·q) scan shape LSH exists to avoid
+    (r01 verdict).  Candidate (query, id) pairs are deduped BARE (no
+    vector payload rides the shuffle), then vectors re-join only for
+    the exact cosine re-rank; AQE turns that probe into a broadcast
+    join when the candidate set is small.
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    e_buckets = spread(embeddings).select(
+    emb = spread(embeddings)
+    e_b = emb.select(
         F.col(id_col),
-        F.col(vec_col),
-        *[
-            _bucket_expr(F.col(vec_col), dim, n_planes, t).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_expr(F.col(vec_col), dim, n_planes, t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("t", "bkt"),
     )
-    q_buckets = queries.select(
+    q_b = queries.select(
         F.col(query_id_col),
-        F.col(query_vec_col),
-        *[
-            _bucket_expr(F.col(query_vec_col), dim, n_planes, t).alias(f"qb{t}")
-            for t in range(n_tables)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_expr(F.col(query_vec_col), dim, n_planes, t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("t", "bkt"),
     )
-    match = None
-    for t in range(n_tables):
-        m = F.col(f"b{t}") == F.col(f"qb{t}")
-        match = m if match is None else (match | m)
-    cand = e_buckets.join(F.broadcast(q_buckets), match).select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_dp).alias(
-            "score"
-        ),
+    cand_ids = (
+        e_b.join(F.broadcast(q_b), ["t", "bkt"])
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    cand = (
+        cand_ids.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine(F.col(vec_col), F.col(query_vec_col)), round_dp
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()

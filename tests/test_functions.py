@@ -193,3 +193,42 @@ def test_salted_lww_equals_plain(spark):
     cols = sorted(a.columns)
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_lsh_topk_plan_is_equi_join_not_bnl(spark):
+    """The LSH candidate join must be an equi-join on (table, bucket) —
+    a BroadcastNestedLoopJoin would evaluate every (row, query) pair,
+    the same O(n·q) shape as brute force (r01 verdict)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = SIM.lsh_topk(emb, q, k=5, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ngram_jaccard_broadcasts_hot_side_only(spark):
+    """The df-cap filter must broadcast the SMALL high-df shingle set
+    as an anti-join, never the (vocabulary-sized) low-df side."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan, plan
+
+
+def test_embedding_neardup_lsh_pair_dedup_is_vector_free(spark):
+    """The candidate pair dedup exchanges bare (id1, id2) — vectors
+    must not ride the dedup shuffle (r01 verdict)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = SIM.embedding_neardup_pairs_lsh(
+        emb, threshold=0.4, dim=64, n_planes=4, n_tables=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every hashpartitioning exchange on id1/id2 must not carry v
+    for m in re.finditer(r"Exchange hashpartitioning\(id1[^\n]*", plan):
+        assert ", v1" not in m.group(0) and ", v2" not in m.group(0), m.group(0)
