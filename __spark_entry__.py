@@ -10,6 +10,7 @@ approximate/streaming-internal ops (see ``oracle_sql`` docstring).
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -64,8 +65,25 @@ def _transcript_plan():
     )
 
 
+_RUN_DIRS: list[str] = []
+
+
+def _cleanup_run_dirs() -> None:
+    for d in _RUN_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_run_dirs)
+
+
 def _tmp(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"kcjfs_{tag}_")
+    """Per-run scratch dir, cleaned at process exit — NOT per query:
+    queries return LAZY DataFrames over their warehouse (no driver-side
+    collect of result tables), so the files must outlive the query
+    function."""
+    d = tempfile.mkdtemp(prefix=f"kcjfs_{tag}_")
+    _RUN_DIRS.append(d)
+    return d
 
 
 # The final-state oracle shared by batch CDC, streaming CDC and entry():
@@ -94,41 +112,30 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full changelog replay → flatten (F1-F8) → LWW (A2) →
     whole-image MERGE with tombstones (A5, A6) → final turns table."""
     wh = _tmp("cdc")
-    try:
-        plan = _transcript_plan()
-        applier = CdcApplier(spark, wh, plan, n_buckets=8)
-        applier.apply_batch(transcript_changelog(spark, sf_dir), batch_id=0)
-        out = applier.read(TURNS_TABLE)
-        # materialize before the temp warehouse is deleted
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    plan = _transcript_plan()
+    applier = CdcApplier(spark, wh, plan, n_buckets=8)
+    applier.apply_batch(transcript_changelog(spark, sf_dir), batch_id=0)
+    return applier.read(TURNS_TABLE)
 
 
 def q_cdc_streaming_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same replay through Structured Streaming (checkpointed file-tail
     of binlog segments, foreachBatch apply — S2, S4, A1-A6)."""
     root = _tmp("stream")
-    try:
-        plan = _transcript_plan()
-        changelog = transcript_changelog(spark, sf_dir)
-        feed = os.path.join(root, "feed")
-        write_changelog_chunks(changelog, feed, n_chunks=2)
-        ing = StreamingIngest(
-            spark,
-            feed,
-            os.path.join(root, "wh"),
-            plan,
-            os.path.join(root, "ckpt"),
-            n_buckets=8,
-        )
-        ing.run_available(timeout_sec=600)
-        out = ing.read(TURNS_TABLE)
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    plan = _transcript_plan()
+    changelog = transcript_changelog(spark, sf_dir)
+    feed = os.path.join(root, "feed")
+    write_changelog_chunks(changelog, feed, n_chunks=2)
+    ing = StreamingIngest(
+        spark,
+        feed,
+        os.path.join(root, "wh"),
+        plan,
+        os.path.join(root, "ckpt"),
+        n_buckets=8,
+    )
+    ing.run_available(timeout_sec=600)
+    return ing.read(TURNS_TABLE)
 
 
 def q_flatten_explode_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,21 +524,16 @@ def q_parent_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``README.md:32-34``).  Child side aggregated per conv, parent
     (small) broadcast."""
     wh = _tmp("join")
-    try:
-        plan = _transcript_plan()
-        applier = CdcApplier(spark, wh, plan, n_buckets=8)
-        applier.apply_batch(transcript_changelog(spark, sf_dir), batch_id=0)
-        root = applier.read("transcripts_conversation").select("conv_id")
-        turns = applier.read(TURNS_TABLE)
-        agg = turns.groupBy("conv_id").agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.max("turn_idx").alias("max_turn_idx"),
-        )
-        out = F.broadcast(root).join(agg, "conv_id")
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    plan = _transcript_plan()
+    applier = CdcApplier(spark, wh, plan, n_buckets=8)
+    applier.apply_batch(transcript_changelog(spark, sf_dir), batch_id=0)
+    root = applier.read("transcripts_conversation").select("conv_id")
+    turns = applier.read(TURNS_TABLE)
+    agg = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+    )
+    return F.broadcast(root).join(agg, "conv_id")
 
 
 PARENT_CHILD_SQL = """
@@ -550,46 +552,183 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_jdbc_flatten_spark.lake.table import SEQ_COL, LakeTable
 
     wh = _tmp("evolve")
-    try:
-        ev = _read(spark, sf_dir, "events")
-        t = LakeTable.create(
-            spark,
-            os.path.join(wh, "t"),
-            T.StructType(
-                [
-                    T.StructField("event_id", T.LongType(), False),
-                    T.StructField("value", T.DoubleType(), True),
-                    T.StructField(SEQ_COL, T.LongType(), True),
-                ]
-            ),
-            ["event_id"],
-            n_buckets=4,
-        )
-        b1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
-        t.merge(b1.withColumn("__seq", F.col("event_id")), mode="lww", batch_id=0)
-        evolved = T.StructType(
+    ev = _read(spark, sf_dir, "events")
+    t = LakeTable.create(
+        spark,
+        os.path.join(wh, "t"),
+        T.StructType(
             [
                 T.StructField("event_id", T.LongType(), False),
                 T.StructField("value", T.DoubleType(), True),
-                T.StructField("props", T.StringType(), True),
+                T.StructField(SEQ_COL, T.LongType(), True),
             ]
-        )
-        t.evolve_schema(evolved)
-        b2 = ev.filter(F.col("event_id") % 2 == 1).select(
-            "event_id", "value", "props"
-        )
-        t.merge(b2.withColumn("__seq", F.col("event_id")), mode="lww", batch_id=1)
-        out = t.read().select("event_id", "value", "props")
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        ),
+        ["event_id"],
+        n_buckets=4,
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+    t.merge(b1.withColumn("__seq", F.col("event_id")), mode="lww", batch_id=0)
+    evolved = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    t.evolve_schema(evolved)
+    b2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "props"
+    )
+    t.merge(b2.withColumn("__seq", F.col("event_id")), mode="lww", batch_id=1)
+    return t.read().select("event_id", "value", "props")
 
 
 SCHEMA_EVOLUTION_SQL = """
 SELECT event_id, value,
        CASE WHEN event_id % 2 = 1 THEN props END AS props
 FROM events
+"""
+
+
+def _drift_envelopes(spark: SparkSession, sf_dir: str, with_text: bool):
+    """Schema-carrying envelopes over events: old value schema
+    {event_id, role} (even ids) vs evolved schema + optional `text`
+    (odd ids) — the reference's evolution fixture pair shape
+    (``value_wo_array.avsc`` → ``value.avsc``)."""
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        to_schema_carrying,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_id") % 2 == (1 if with_text else 0)
+    )
+    fields = [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("role", T.StringType(), True),
+    ]
+    val = [F.col("event_id"), F.col("event_type").alias("role")]
+    if with_text:
+        fields.append(T.StructField("text", T.StringType(), True))
+        val.append(F.col("props").alias("text"))
+    typed = ev.select(
+        F.lit("evt").alias("topic"),
+        F.pmod("event_id", F.lit(2)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit("CreateTime").alias("timestamp_type"),
+        F.col("event_id").alias("key"),
+        F.struct(*val).alias("value"),
+        F.lit("c").alias("op"),
+        F.col("event_id").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return to_schema_carrying(typed, T.StructType(fields))
+
+
+def q_schema_evolution_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic MID-STREAM schema-drift handling (the reference's
+    headline auto-evolve, ``BufferedRecords.java:104-126``): chunk 1
+    carries the old value schema, chunk 2 an added optional field; the
+    streaming ingest detects the change per micro-batch, recompiles the
+    plan, ALTER-ADDs the column and routes it."""
+    from kafka_connect_jdbc_flatten_spark.streaming.pipeline import (
+        SchemaDriftIngest,
+    )
+
+    root = _tmp("drift")
+    feed = os.path.join(root, "feed")
+    _drift_envelopes(spark, sf_dir, with_text=False).coalesce(1).write.parquet(
+        os.path.join(feed, "chunk-00001")
+    )
+    _drift_envelopes(spark, sf_dir, with_text=True).coalesce(1).write.parquet(
+        os.path.join(feed, "chunk-00002")
+    )
+    cfg = FlattenConfig(
+        topic="evt",
+        pk_mode="flatten",
+        pk_fields=("root.key",),
+        rename_fields={"root.key": "event_id", "evt.event_id": "event_id_img"},
+    )
+    ing = SchemaDriftIngest(
+        spark,
+        feed,
+        os.path.join(root, "wh"),
+        cfg,
+        T.LongType(),
+        os.path.join(root, "ckpt"),
+        value_record_name="Evt",
+        key_record_name="EvtKey",
+        n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    ing.run_available(timeout_sec=600)
+    assert any(e["added"] == ["text"] for e in ing.evolutions), ing.evolutions
+    return ing.read("evt_evt").select("event_id", "role", "text")
+
+
+SCHEMA_EVOLUTION_STREAMING_SQL = """
+SELECT event_id,
+       event_type AS role,
+       CASE WHEN event_id % 2 = 1 THEN props END AS text
+FROM events
+"""
+
+
+def q_incremental_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival safety delay (S5): the end bound is pulled back by
+    timestamp.delay.interval.ms so in-flight transactions with earlier
+    timestamps are never skipped
+    (``TimestampIncrementingTableQuerier.java:208-214``)."""
+    import datetime
+
+    ev = _read(spark, sf_dir, "events")
+    end = ev.agg(F.max("ts")).collect()[0][0]  # scalar aggregate only
+    crit = IncrementalCriteria(ts_col="ts", inc_col=None)
+    return ev.filter(
+        crit.predicate(
+            datetime.datetime(1970, 1, 1), None, end_ts=end, delay_ms=3_600_000
+        )
+    ).select(*EVENT_COLS)
+
+
+INCREMENTAL_DELAY_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+WHERE ts > TIMESTAMP '1970-01-01 00:00:00'
+  AND ts < (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+"""
+
+
+def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling event-time windows over the change feed
+    (streaming/windows.py), run in batch mode — identical results, the
+    watermark node is eliminated on batch plans."""
+    from kafka_connect_jdbc_flatten_spark.streaming.windows import (
+        change_rate_windows,
+    )
+
+    return change_rate_windows(
+        transcript_changelog(spark, sf_dir), window="1 hour", watermark="1 hour"
+    )
+
+
+WINDOWED_RATES_SQL = """
+WITH ch AS (
+  SELECT (user_id % 4)::INT AS partition, ts, 0 AS is_del, event_id AS seq
+  FROM events
+  UNION ALL
+  SELECT (user_id % 4)::INT,
+         max(ts),
+         1,
+         user_id + (SELECT max(event_id) FROM events) + 1
+  FROM events WHERE user_id % 10 = 7 GROUP BY user_id
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       partition,
+       count(*)::BIGINT AS n_events,
+       sum(is_del)::BIGINT AS n_deletes,
+       max(seq)::BIGINT AS max_seq
+FROM ch GROUP BY 1, 2, 3
 """
 
 
@@ -805,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events": q_topk_events,
         "parent_child_join": q_parent_child_join,
         "schema_evolution": q_schema_evolution,
+        "schema_evolution_streaming": q_schema_evolution_streaming,
+        "incremental_delay": q_incremental_delay,
+        "windowed_rates": q_windowed_rates,
         # training-data layer
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -845,6 +987,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_events": TOPK_SQL,
         "parent_child_join": PARENT_CHILD_SQL,
         "schema_evolution": SCHEMA_EVOLUTION_SQL,
+        "schema_evolution_streaming": SCHEMA_EVOLUTION_STREAMING_SQL,
+        "incremental_delay": INCREMENTAL_DELAY_SQL,
+        "windowed_rates": WINDOWED_RATES_SQL,
         "text_quality": text_quality_sql(),
         "token_counts": TOKEN_COUNTS_SQL,
         "lang_id": LANG_ID_SQL,

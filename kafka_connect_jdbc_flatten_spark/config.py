@@ -45,7 +45,15 @@ class FlattenConfig:
     pk_fields: tuple[str, ...] = ()
     pk_propagate_value_fields: tuple[str, ...] = ()  # :312-318
     delete_enabled: bool = False  # :116-118
-    insert_mode: str = "upsert"  # "insert" | "upsert"  (:133-139)
+    insert_mode: str = "upsert"  # "insert" | "update" | "upsert"  (:133-139)
+    # non-flatten-mode value-field whitelist (fields.whitelist,
+    # JdbcSinkConfig.java:188-196 / FieldsMetadata.java:144-146): when
+    # set, only leaves whose SIMPLE field name is listed survive; PK
+    # fields always survive (the reference adds them back)
+    fields_whitelist: frozenset[str] = frozenset()
+    # plan-cache capacity (flatten.instruction_cache_size,
+    # JdbcSinkConfig.java:326-332)
+    instruction_cache_size: int = 100
 
     def case(self, name: str) -> str:
         """Case-force a name (``FlattenTransformation.java:723-725``)."""

@@ -259,6 +259,20 @@ class LakeTable:
         return self.manifest()["last_committed_batch_id"].get(writer_id, -1)
 
     # -------------------------------------------------------------- writes
+    def _align(self, df: DataFrame) -> DataFrame:
+        """Pad a batch missing newly-evolved columns with typed nulls —
+        a pre-evolution (narrower-schema) writer stays valid after
+        auto-evolve, mirroring the reference's tolerance of extra DB
+        columns (``DbStructure.java:134-137``)."""
+        for f in self.schema.fields:
+            if f.name not in df.columns:
+                if not f.nullable:
+                    raise SchemaEvolutionError(
+                        f"batch lacks non-optional column {f.name!r}"
+                    )
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
     def _bucket_expr(self, key_cols=None):
         m = self.manifest()
         kc = key_cols or m["key_cols"]
@@ -377,7 +391,7 @@ class LakeTable:
         table_cols = [f.name for f in self.schema.fields]
         scope = scope_keys or m["key_cols"]
 
-        batch = batch.withColumn(
+        batch = self._align(batch).withColumn(
             BUCKET_COL,
             F.pmod(F.xxhash64(*[F.col(c) for c in scope]), F.lit(m["n_buckets"])).cast("int"),
         ).persist()  # consumed by the touched-bucket probe AND the write
@@ -472,7 +486,7 @@ class LakeTable:
 
         table_cols = [f.name for f in self.schema.fields]
         scope = scope_keys or m["key_cols"]
-        out = batch.withColumn(
+        out = self._align(batch).withColumn(
             BUCKET_COL,
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in scope]), F.lit(m["n_buckets"])

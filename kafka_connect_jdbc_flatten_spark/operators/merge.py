@@ -103,8 +103,13 @@ class CdcApplier:
         changelog: DataFrame,
         batch_id: int | None = None,
         strategy: str = "mor",
+        writer_suffix: str = "",
     ) -> dict:
-        """Flatten + MERGE one micro-batch.  Returns per-table stats."""
+        """Flatten + MERGE one micro-batch.  Returns per-table stats.
+
+        ``writer_suffix`` namespaces the exactly-once batch-id ledger —
+        the schema-drift path applies one micro-batch as several
+        per-schema sub-batches, each needing its own dedup key."""
         plan = self.plan
         key_cols = [c for c in plan.key_pk_columns]
         if not key_cols:
@@ -145,7 +150,9 @@ class CdcApplier:
         stats: dict[str, dict] = {}
         if strategy == "mor" and self._union_ok:
             try:
-                stats = self._apply_mor_union(upserts, deletes, batch_id)
+                stats = self._apply_mor_union(
+                    upserts, deletes, batch_id, writer_suffix
+                )
                 reduced.unpersist()
                 return stats
             except AnalysisException:
@@ -163,7 +170,7 @@ class CdcApplier:
                 scope_keys=scope,
                 delete_col=DELETE_COL,
                 batch_id=batch_id,
-                writer_id=spec.table_name,
+                writer_id=spec.table_name + writer_suffix,
                 strategy=strategy,
             )
 
@@ -204,7 +211,11 @@ class CdcApplier:
         )
 
     def _apply_mor_union(
-        self, upserts: DataFrame, deletes: DataFrame, batch_id: int | None
+        self,
+        upserts: DataFrame,
+        deletes: DataFrame,
+        batch_id: int | None,
+        writer_suffix: str = "",
     ) -> dict:
         """All tables' delta segments in ONE write job.
 
@@ -221,7 +232,8 @@ class CdcApplier:
         plan = self.plan
         tbl_part, bucket_part = "__tbl_p", BUCKET_COL + "_p"
         if batch_id is not None and all(
-            batch_id <= self.tables[s.table_name].last_batch_id(s.table_name)
+            batch_id
+            <= self.tables[s.table_name].last_batch_id(s.table_name + writer_suffix)
             for s in plan.tables
         ):
             return {
@@ -290,7 +302,7 @@ class CdcApplier:
                 mode="replace",
                 scope_keys=scope,
                 batch_id=batch_id,
-                writer_id=spec.table_name,
+                writer_id=spec.table_name + writer_suffix,
             )
         return stats
 

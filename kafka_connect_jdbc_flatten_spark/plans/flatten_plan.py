@@ -231,6 +231,14 @@ def _walk(
         p.field_name.lower() == field_name.lower() for p in last.pk_fields
     ) or any(pk.lower() == fq_leaf for pk in cfg.pk_fields):
         entry.is_pk = True  # FlattenTransformation.java:705-712
+    if (
+        cfg.fields_whitelist
+        and not entry.is_pk
+        and field_name.lower() not in {w.lower() for w in cfg.fields_whitelist}
+    ):
+        # fields.whitelist prunes non-PK leaves by simple name
+        # (FieldsMetadata.java:144-146; PKs are always added back)
+        return
     out.append(entry)
 
 

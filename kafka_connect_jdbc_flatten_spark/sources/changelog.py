@@ -188,6 +188,48 @@ def transcript_changelog(
     return upserts.unionByName(tombs)
 
 
+def schema_carrying_envelope_schema(key_schema: T.DataType) -> T.StructType:
+    """Envelope for a SCHEMA-CARRYING feed: the value travels as a JSON
+    string next to its own Spark-schema JSON — the Connect
+    ``SinkRecord(valueSchema, value)`` shape, which is what lets the
+    sink detect a schema change per record and auto-evolve
+    (``BufferedRecords.java:104-126``).  A fixed-schema file stream can
+    then carry records of MANY value schemas in one feed."""
+    return T.StructType(
+        [
+            T.StructField("topic", T.StringType(), False),
+            T.StructField("partition", T.IntegerType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("timestamp_type", T.StringType(), True),
+            T.StructField("key", key_schema, False),
+            T.StructField("value", T.StringType(), True),
+            T.StructField("value_schema", T.StringType(), True),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+
+
+def to_schema_carrying(
+    changelog: DataFrame, value_schema: T.StructType
+) -> DataFrame:
+    """Typed envelope → schema-carrying envelope: serialize ``value``
+    to JSON and attach the schema it was written with.  Tombstones
+    (null value) keep a null payload but still carry the schema id."""
+    cols = []
+    for c in changelog.columns:
+        if c == "before":
+            continue  # schema-carrying feeds ship after-images only
+        if c == "value":
+            cols.append(F.to_json(F.col("value")).alias("value"))
+            cols.append(F.lit(value_schema.json()).alias("value_schema"))
+        else:
+            cols.append(F.col(c))
+    return changelog.select(*cols)
+
+
 def write_changelog_chunks(
     changelog: DataFrame, out_dir: str, n_chunks: int = 4
 ) -> list[str]:

@@ -66,10 +66,9 @@ class StreamingIngest:
         self.batch_stats: list[dict] = []
 
     # ------------------------------------------------------------------
-    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        t0 = time.time()
-        # per-partition lineage + counters in ONE aggregate job
-        lineage_rows = (
+    def _lineage_rows(self, batch_df: DataFrame) -> list:
+        """Per-partition lineage + counters in ONE aggregate job."""
+        return (
             batch_df.groupBy("partition")
             .agg(
                 F.max("offset").alias("max_offset"),
@@ -79,14 +78,13 @@ class StreamingIngest:
             )
             .collect()
         )
-        n_rows = sum(r["rows"] for r in lineage_rows)
-        stats = self.applier.apply_batch(batch_df, batch_id=batch_id)
-        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
-            # compact + vacuum incl. the shared _commits/ segment dir
-            self.applier.maintain()
+
+    def _record_lineage(
+        self, batch_id: int, lineage_rows: list, stats: dict, t0: float, **extra
+    ) -> None:
         record = {
             "batch_id": batch_id,
-            "rows": n_rows,
+            "rows": sum(r["rows"] for r in lineage_rows),
             "partitions": {
                 str(r["partition"]): {
                     "max_offset": r["max_offset"],
@@ -98,12 +96,22 @@ class StreamingIngest:
             },
             "tables": stats,
             "wall_sec": round(time.time() - t0, 3),
+            **extra,
         }
         self.batch_stats.append(record)
         tmp = os.path.join(self.lineage_dir, f".batch-{batch_id}.tmp")
         with open(tmp, "w") as f:
             json.dump(record, f)
         os.rename(tmp, os.path.join(self.lineage_dir, f"batch-{batch_id}.json"))
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        lineage_rows = self._lineage_rows(batch_df)
+        stats = self.applier.apply_batch(batch_df, batch_id=batch_id)
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            # compact + vacuum incl. the shared _commits/ segment dir
+            self.applier.maintain()
+        self._record_lineage(batch_id, lineage_rows, stats, t0)
 
     # ------------------------------------------------------------------
     def run_available(self, timeout_sec: int | None = None) -> list[dict]:
@@ -138,3 +146,150 @@ class StreamingIngest:
 
     def read(self, table_name: str) -> DataFrame:
         return self.applier.read(table_name)
+
+
+class SchemaDriftIngest(StreamingIngest):
+    """Streaming ingest over a SCHEMA-CARRYING changelog, with the
+    reference's headline auto-evolve behavior: a value-schema change
+    arriving mid-stream is detected per micro-batch, the flatten plan
+    is recompiled (``PlanCache`` keyed on the schema fingerprint), each
+    target table is additively evolved, and the new columns route
+    (``BufferedRecords.java:104-126``, ``DbStructure.java:127-234``;
+    evolution fixture pair ``value_wo_array.avsc`` → ``value.avsc``).
+
+    Feed contract: ``schema_carrying_envelope_schema(key_schema)`` —
+    the ``value`` is a JSON string accompanied by the Spark-schema JSON
+    it was written with (the ``SinkRecord(valueSchema, value)`` shape).
+    Each micro-batch is split into per-schema groups (the reference
+    flushes its buffer on schema change — same effect), applied oldest
+    schema first by ``min(seq)``; each group gets its own exactly-once
+    writer namespace so redelivery of a partially-applied micro-batch
+    heals per group.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        changelog_dir: str,
+        warehouse: str,
+        cfg,
+        key_schema,
+        checkpoint_dir: str,
+        value_record_name: str | None = None,
+        key_record_name: str | None = None,
+        n_buckets: int = 16,
+        max_files_per_trigger: int | None = None,
+        compact_every: int | None = 16,
+    ):
+        from ..plans.flatten_plan import PlanCache
+        from ..sources.changelog import schema_carrying_envelope_schema
+
+        self.spark = spark
+        self.changelog_dir = changelog_dir
+        self.warehouse = warehouse
+        self.checkpoint_dir = checkpoint_dir
+        self.cfg = cfg
+        self.key_schema = key_schema
+        self.value_record_name = value_record_name
+        self.key_record_name = key_record_name
+        self.n_buckets = n_buckets
+        self.max_files_per_trigger = max_files_per_trigger
+        self.compact_every = compact_every
+        self.schema = schema_carrying_envelope_schema(key_schema)
+        # plan cache capacity = flatten.instruction_cache_size parity
+        self.plan_cache = PlanCache(capacity=cfg.instruction_cache_size)
+        self.appliers: dict[str, CdcApplier] = {}
+        self.evolutions: list[dict] = []  # audit log of ALTER ADDs
+        self.lineage_dir = os.path.join(warehouse, "_lineage")
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        self.batch_stats: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def _applier_for(self, schema_json: str) -> tuple[CdcApplier, str]:
+        import hashlib
+
+        from pyspark.sql import types as T
+
+        from ..lake.table import SEQ_COL, LakeTable
+
+        suffix = "@" + hashlib.md5(schema_json.encode()).hexdigest()[:8]
+        ap = self.appliers.get(schema_json)
+        if ap is not None:
+            return ap, suffix
+        vschema = T.StructType.fromJson(json.loads(schema_json))
+        plan = self.plan_cache.get(
+            self.key_schema,
+            vschema,
+            self.cfg,
+            self.value_record_name,
+            self.key_record_name,
+        )
+        # additively evolve every already-existing target table to this
+        # plan's schema BEFORE any write routes the new columns
+        for spec in plan.tables:
+            path = os.path.join(self.warehouse, spec.table_name)
+            if LakeTable.exists(self.spark, path):
+                table = LakeTable(self.spark, path)
+                evolved = T.StructType(
+                    list(spec.spark_schema.fields)
+                    + [T.StructField(SEQ_COL, T.LongType(), True)]
+                )
+                added = table.evolve_schema(evolved)
+                if added:
+                    self.evolutions.append(
+                        {"table": spec.table_name, "added": added}
+                    )
+        ap = CdcApplier(self.spark, self.warehouse, plan, self.n_buckets)
+        self.appliers[schema_json] = ap
+        return ap, suffix
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import types as T
+
+        from ..operators.lww import lww_reduce_auto
+
+        t0 = time.time()
+        lineage_rows = self._lineage_rows(batch_df)
+        # one winner per key FIRST, across ALL schemas (the value is
+        # still an opaque JSON string here, so the reduction is schema-
+        # agnostic) — otherwise a key whose schema alternates within
+        # one micro-batch would have its superseded old-schema image
+        # land in a LATER segment and win reconciliation
+        reduced, _ = lww_reduce_auto(batch_df, ["key"], ["seq"])
+        # distinct value schemas this micro-batch (tiny aggregate),
+        # applied in order of first appearance in the binlog
+        groups = sorted(
+            reduced.groupBy("value_schema")
+            .agg(F.min("seq").alias("first_seq"))
+            .collect(),
+            key=lambda r: r["first_seq"],
+        )
+        stats: dict = {}
+        for r in groups:
+            schema_json = r["value_schema"]
+            applier, suffix = self._applier_for(schema_json)
+            vschema = T.StructType.fromJson(json.loads(schema_json))
+            sub = reduced
+            if len(groups) > 1:
+                sub = reduced.filter(F.col("value_schema") == schema_json)
+            sub = sub.withColumn(
+                "value", F.from_json(F.col("value"), vschema)
+            ).drop("value_schema")
+            st = applier.apply_batch(
+                sub, batch_id=batch_id, writer_suffix=suffix
+            )
+            for tname, tstats in st.items():
+                stats.setdefault(tname, []).append(tstats)
+        reduced.unpersist()
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            for applier in self.appliers.values():
+                applier.maintain()
+        self._record_lineage(
+            batch_id, lineage_rows, stats, t0, schemas=len(groups)
+        )
+
+    def read(self, table_name: str) -> DataFrame:
+        for applier in self.appliers.values():
+            if table_name in applier.tables:
+                return applier.read(table_name)
+        raise KeyError(table_name)

@@ -113,3 +113,134 @@ def test_rerun_after_completion_is_noop(spark, tmp_path):
     assert ing3.batch_stats == []  # nothing new to process
     assert ing3.read(TURNS).count() == count1
     assert ing3.applier.tables[TURNS].manifest()["version"] == v1
+
+
+def _evt_envelopes(spark, with_text: bool):
+    """Schema-carrying envelopes over the events table: old schema
+    {event_id, role} (even ids), new schema adds optional `text`
+    (odd ids) — the evolution fixture pair shape
+    (value_wo_array.avsc → value.avsc)."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        to_schema_carrying,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    parity = 1 if with_text else 0
+    ev = ev.filter(F.col("event_id") % 2 == parity)
+    fields = [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("role", T.StringType(), True),
+    ]
+    val = [F.col("event_id"), F.col("event_type").alias("role")]
+    if with_text:
+        fields.append(T.StructField("text", T.StringType(), True))
+        val.append(F.col("props").alias("text"))
+    vschema = T.StructType(fields)
+    typed = ev.select(
+        F.lit("evt").alias("topic"),
+        F.pmod("event_id", F.lit(2)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit("CreateTime").alias("timestamp_type"),
+        F.col("event_id").alias("key"),
+        F.struct(*val).alias("value"),
+        F.lit("c").alias("op"),
+        F.col("event_id").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return to_schema_carrying(typed, vschema), vschema
+
+
+def _drift_cfg():
+    from kafka_connect_jdbc_flatten_spark.config import FlattenConfig
+
+    return FlattenConfig(
+        topic="evt",
+        pk_mode="flatten",
+        pk_fields=("root.key",),
+        rename_fields={"root.key": "event_id", "evt.event_id": "event_id_img"},
+    )
+
+
+def test_schema_drift_mid_stream_auto_evolves(spark, tmp_path):
+    """Chunk 1 arrives with the old value schema, chunk 2 with an added
+    optional field: the ingest must detect the change, recompile the
+    plan, ALTER-ADD the column, and route it — old rows read as null
+    (BufferedRecords.java:104-126, DbStructure.java:127-234)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.streaming.pipeline import (
+        SchemaDriftIngest,
+    )
+
+    old_env, _ = _evt_envelopes(spark, with_text=False)
+    new_env, _ = _evt_envelopes(spark, with_text=True)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    old_env.coalesce(1).write.parquet(str(feed / "chunk-00001"))
+    new_env.coalesce(1).write.parquet(str(feed / "chunk-00002"))
+
+    ing = SchemaDriftIngest(
+        spark,
+        str(feed),
+        str(tmp_path / "wh"),
+        _drift_cfg(),
+        T.LongType(),
+        str(tmp_path / "ckpt"),
+        value_record_name="Evt",
+        key_record_name="EvtKey",
+        n_buckets=4,
+        max_files_per_trigger=1,
+    )
+    ing.run_available(timeout_sec=300)
+    # the evolution was detected and logged
+    assert any(e["added"] == ["text"] for e in ing.evolutions), ing.evolutions
+    out = ing.read("evt_evt")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert out.count() == ev.count()
+    # old-schema rows read as null, new-schema rows carry the value
+    assert out.filter((F.col("event_id") % 2 == 0) & F.col("text").isNotNull()).count() == 0
+    assert out.filter((F.col("event_id") % 2 == 1) & F.col("text").isNull()).count() == 0
+    # checkpoint resume with a THIRD schema chunk (another new field)
+    ev3 = spark.read.parquet(f"{SF}/events.parquet").limit(0)
+    # re-running with nothing new is a no-op
+    ing2 = SchemaDriftIngest(
+        spark, str(feed), str(tmp_path / "wh"), _drift_cfg(), T.LongType(),
+        str(tmp_path / "ckpt"), value_record_name="Evt",
+        key_record_name="EvtKey", n_buckets=4,
+    )
+    ing2.run_available(timeout_sec=300)
+    assert ing2.batch_stats == []
+
+
+def test_schema_drift_both_schemas_in_one_microbatch(spark, tmp_path):
+    """Both schema generations inside ONE micro-batch: per-schema
+    groups apply in binlog order with per-group exactly-once ids."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.streaming.pipeline import (
+        SchemaDriftIngest,
+    )
+
+    old_env, _ = _evt_envelopes(spark, with_text=False)
+    new_env, _ = _evt_envelopes(spark, with_text=True)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    old_env.unionByName(new_env).coalesce(1).write.parquet(
+        str(feed / "chunk-00001")
+    )
+    ing = SchemaDriftIngest(
+        spark, str(feed), str(tmp_path / "wh"), _drift_cfg(), T.LongType(),
+        str(tmp_path / "ckpt"), value_record_name="Evt",
+        key_record_name="EvtKey", n_buckets=4,
+    )
+    stats = ing.run_available(timeout_sec=300)
+    assert stats and stats[0]["schemas"] == 2
+    out = ing.read("evt_evt")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert out.count() == ev.count()
+    assert out.filter((F.col("event_id") % 2 == 1) & F.col("text").isNull()).count() == 0
