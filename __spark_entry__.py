@@ -711,6 +711,96 @@ def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLAT_VALUE = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+
+def _flat_changelog(
+    spark: SparkSession, sf_dir: str, seq_offset: int = 0, v_scale: float = 1.0
+) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        (F.col("event_id") + F.lit(seq_offset)).alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit("CreateTime").alias("timestamp_type"),
+        F.col("event_id").alias("key"),
+        F.struct(
+            F.col("event_id"), (F.col("value") * F.lit(v_scale)).alias("v")
+        ).alias("value"),
+        F.lit("c").alias("op"),
+        (F.col("event_id") + F.lit(seq_offset)).cast("long").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+def _flat_plan(insert_mode: str):
+    cfg = FlattenConfig(
+        topic="events",
+        pk_mode="flatten",
+        insert_mode=insert_mode,
+        pk_fields=("root.key",),
+        rename_fields={
+            "root.key": "event_id",
+            "evtv.event_id": "event_id_img",
+        },
+    )
+    return compile_flatten_plan(
+        T.LongType(),
+        _FLAT_VALUE,
+        cfg,
+        value_record_name="EvtV",
+        key_record_name="EvtKey",
+    )
+
+
+def q_insert_mode_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert.mode=insert (A3, JdbcSinkConfig.java:133-139): every
+    record appended, duplicate keys tolerated — the same feed applied
+    twice yields exactly 2 rows per event."""
+    wh = _tmp("ins")
+    applier = CdcApplier(spark, wh, _flat_plan("insert"), n_buckets=8)
+    feed = _flat_changelog(spark, sf_dir).unionByName(
+        _flat_changelog(spark, sf_dir, seq_offset=10**12)
+    )
+    applier.apply_batch(feed, batch_id=0)
+    return applier.read("events_evtv").select("event_id", "v")
+
+
+INSERT_MODE_SQL = """
+SELECT event_id, value AS v FROM events
+UNION ALL
+SELECT event_id, value AS v FROM events
+"""
+
+
+def q_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert.mode=update (A3): only rows whose key already exists are
+    modified; unknown keys are silently ignored (SQL UPDATE semantics,
+    PostgreSqlDatabaseDialect update path).  Seed = even event_ids via
+    upsert; update batch touches ALL events with doubled values — odd
+    ids must not appear."""
+    wh = _tmp("upd")
+    seed_applier = CdcApplier(spark, wh, _flat_plan("upsert"), n_buckets=8)
+    seed = _flat_changelog(spark, sf_dir).filter(F.col("key") % 2 == 0)
+    seed_applier.apply_batch(seed, batch_id=0)
+
+    upd_applier = CdcApplier(spark, wh, _flat_plan("update"), n_buckets=8)
+    updates = _flat_changelog(spark, sf_dir, seq_offset=10**12, v_scale=2.0)
+    upd_applier.apply_batch(updates, batch_id=1)
+    return upd_applier.read("events_evtv").select("event_id", "v")
+
+
+UPDATE_MODE_SQL = """
+SELECT event_id, value * 2 AS v FROM events WHERE event_id % 2 = 0
+"""
+
+
 WINDOWED_RATES_SQL = """
 WITH ch AS (
   SELECT (user_id % 4)::INT AS partition, ts, 0 AS is_del, event_id AS seq
@@ -947,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_streaming": q_schema_evolution_streaming,
         "incremental_delay": q_incremental_delay,
         "windowed_rates": q_windowed_rates,
+        "insert_mode_append": q_insert_mode_append,
+        "update_mode": q_update_mode,
         # training-data layer
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -990,6 +1082,8 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_streaming": SCHEMA_EVOLUTION_STREAMING_SQL,
         "incremental_delay": INCREMENTAL_DELAY_SQL,
         "windowed_rates": WINDOWED_RATES_SQL,
+        "insert_mode_append": INSERT_MODE_SQL,
+        "update_mode": UPDATE_MODE_SQL,
         "text_quality": text_quality_sql(),
         "token_counts": TOKEN_COUNTS_SQL,
         "lang_id": LANG_ID_SQL,

@@ -229,6 +229,29 @@ class LakeTable:
         segments = m.get("segments", [])
         modes = {s["mode"] for s in segments}
         not_deleted = ~F.coalesce(F.col(MOR_DELETE_COL), F.lit(False))
+        if modes == {"append"}:
+            # insert mode: every row survives, duplicates included
+            # (``BufferedRecords.java:342-357`` INSERT path)
+            return allrows.filter(not_deleted).drop(SEG_COL, MOR_DELETE_COL)
+        if modes == {"update"}:
+            # update mode: row-level winner per key, but ONLY keys that
+            # already existed in the base survive — unknown keys are
+            # silently ignored like SQL UPDATE (insert.mode=update,
+            # ``JdbcSinkConfig.java:133-139``).  Sound because keys only
+            # come into existence via the base: any other-mode commit
+            # compacts first, folding segments into the base.
+            from ..operators.lww import lww_reduce_agg
+
+            keys = m["key_cols"]
+            base_keys = (
+                allrows.filter(F.col(SEG_COL) == 0).select(*keys).distinct()
+            )
+            winner = lww_reduce_agg(allrows, keys, [SEG_COL, SEQ_COL])
+            return (
+                winner.join(base_keys, on=keys, how="left_semi")
+                .filter(not_deleted)
+                .drop(SEG_COL, MOR_DELETE_COL)
+            )
         if modes == {"replace"}:
             scopes = [tuple(s["scope_keys"]) for s in segments]
             if len(set(scopes)) != 1:
@@ -435,6 +458,31 @@ class LakeTable:
 
             winner = lww_reduce(allrows, keys, [sc])
             new_state = winner.filter(~F.col("__is_delete")).drop("__is_delete")
+        elif mode == "append":
+            # insert mode: pure append, duplicates tolerated
+            new_state = old.select(*table_cols, BUCKET_COL).unionByName(
+                batch.select(*table_cols, BUCKET_COL)
+            )
+        elif mode == "update":
+            # modify-only: batch rows whose ROW KEY exists replace the
+            # old row; unknown keys are ignored like SQL UPDATE
+            # (PostgreSqlDatabaseDialect update path, insert.mode=update).
+            # Matching is on key_cols (row PK); bucketing stays on
+            # ``scope`` so the layout matches every other write path.
+            keys = m["key_cols"]
+            existing = old.select(*keys).distinct()
+            updatable = batch.join(existing, on=keys, how="left_semi")
+            keep_old = old.join(
+                updatable.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            inserts = updatable
+            if delete_col is not None and delete_col in batch.columns:
+                inserts = inserts.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                )
+            new_state = keep_old.select(*table_cols, BUCKET_COL).unionByName(
+                inserts.select(*table_cols, BUCKET_COL)
+            )
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
 
@@ -472,7 +520,7 @@ class LakeTable:
         markers persist in the ``__mor_del`` column; ``read()``
         resolves winners, ``compact()`` folds the log.
         """
-        if mode not in ("replace", "lww"):
+        if mode not in ("replace", "lww", "append", "update"):
             raise ValueError(f"unknown merge mode {mode!r}")
         base = self._current_version()
         m = self.manifest()

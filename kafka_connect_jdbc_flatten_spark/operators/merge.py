@@ -127,6 +127,18 @@ class CdcApplier:
             c for c in changelog.columns if c != "before"
         ]
         changelog = changelog.select(*needed)
+
+        imode = self.plan.config.insert_mode
+        if imode == "insert":
+            # insert.mode=insert (JdbcSinkConfig.java:133-139): every
+            # record appended as-is — no LWW collapse, duplicates
+            # tolerated; tombstones are ignored (delete requires the
+            # upsert/update paths).  One appended row per flattened
+            # record = the reference's insert-count validation shape
+            # (BufferedRecords.java:228-239).
+            return self._apply_insert(changelog, batch_id, strategy, writer_suffix)
+        if imode not in ("upsert", "update"):
+            raise ValueError(f"unknown insert_mode {imode!r}")
         # one image per key per batch: LWW on the binlog order.
         # Broadcast-winner form while the winner set fits a broadcast:
         # the wide envelope rows (after images) are NEVER shuffled —
@@ -146,6 +158,16 @@ class CdcApplier:
         is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
         upserts = reduced.filter(~is_del)
         deletes = reduced.filter(is_del)
+
+        if imode == "update":
+            # insert.mode=update: modify-only, unknown keys silently
+            # ignored (SQL UPDATE semantics,
+            # PostgreSqlDatabaseDialect update path)
+            stats = self._apply_update(
+                upserts, deletes, batch_id, strategy, writer_suffix
+            )
+            reduced.unpersist()
+            return stats
 
         stats: dict[str, dict] = {}
         if strategy == "mor" and self._union_ok:
@@ -185,6 +207,91 @@ class CdcApplier:
             for name, st in pool.map(_merge_one, plan.tables):
                 stats[name] = st
         reduced.unpersist()
+        return stats
+
+    def _apply_insert(
+        self,
+        changelog: DataFrame,
+        batch_id: int | None,
+        strategy: str,
+        writer_suffix: str,
+    ) -> dict:
+        """insert.mode=insert: flatten every non-tombstone envelope and
+        APPEND — duplicate keys accumulate, exactly like repeated JDBC
+        INSERTs."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
+        inserts = changelog.filter(~is_del).persist()
+        inserts.count()
+
+        def _append_one(spec: TableSpec) -> tuple[str, dict]:
+            flat = flatten_table(inserts, spec, carry_cols=("seq",)).withColumnRenamed(
+                "seq", SEQ_COL
+            )
+            return spec.table_name, self.tables[spec.table_name].merge(
+                flat,
+                mode="append",
+                scope_keys=list(spec.merge_keys) or None,
+                batch_id=batch_id,
+                writer_id=spec.table_name + writer_suffix,
+                strategy=strategy,
+            )
+
+        stats: dict[str, dict] = {}
+        with ThreadPoolExecutor(max_workers=len(self.plan.tables)) as pool:
+            for name, st in pool.map(_append_one, self.plan.tables):
+                stats[name] = st
+        inserts.unpersist()
+        return stats
+
+    def _apply_update(
+        self,
+        upserts: DataFrame,
+        deletes: DataFrame,
+        batch_id: int | None,
+        strategy: str,
+        writer_suffix: str,
+    ) -> dict:
+        """insert.mode=update: row-level modify of EXISTING keys only;
+        tombstones still wipe matching keys when delete_enabled."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        plan = self.plan
+        has_deletes = (
+            plan.config.delete_enabled and deletes.limit(1).count() > 0
+        )
+
+        def _update_one(spec: TableSpec) -> tuple[str, dict]:
+            table = self.tables[spec.table_name]
+            flat = flatten_table(upserts, spec, carry_cols=("seq",)).withColumnRenamed(
+                "seq", SEQ_COL
+            )
+            # bucket on the key scope like every other write path —
+            # row-level matching on key_cols happens inside the merge
+            st = table.merge(
+                flat,
+                mode="update",
+                scope_keys=list(spec.key_merge_keys) or list(spec.merge_keys),
+                batch_id=batch_id,
+                writer_id=spec.table_name + writer_suffix,
+                strategy=strategy,
+            )
+            if has_deletes:
+                scope = list(spec.key_merge_keys) or list(spec.merge_keys)
+                st_del = table.delete_where_keys(
+                    deletes.select(*self._key_exprs(spec)),
+                    scope_keys=scope,
+                    batch_id=batch_id,
+                    writer_id=spec.table_name + writer_suffix + "#del",
+                )
+                st = {"update": st, "delete": st_del}
+            return spec.table_name, st
+
+        stats: dict[str, dict] = {}
+        with ThreadPoolExecutor(max_workers=len(plan.tables)) as pool:
+            for name, st in pool.map(_update_one, plan.tables):
+                stats[name] = st
         return stats
 
     def _batch_rows(self, spec: TableSpec, upserts: DataFrame, deletes: DataFrame) -> DataFrame:

@@ -296,3 +296,83 @@ def test_mixed_type_plans_route_to_per_table_merge(spark, tmp_path):
     assert items.schema["x"].dataType == T.IntegerType()
     assert [(r.rkey_rid, r.x) for r in root.collect()] == [(1, 10)]
     assert [(r.rkey_rid, r.x, r.item_id) for r in items.collect()] == [(1, 7, 100)]
+
+
+def test_insert_mode_appends_duplicates_and_ignores_tombstones(spark, plan, tmp_path):
+    """insert.mode=insert (JdbcSinkConfig.java:133-139): every record
+    appended, duplicate keys accumulate, no LWW collapse; tombstones
+    are ignored."""
+    import dataclasses
+
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config,
+    )
+
+    cfg = dataclasses.replace(
+        transcript_flatten_config(), insert_mode="insert", delete_enabled=True
+    )
+    iplan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA, TRANSCRIPT_VALUE_SCHEMA, cfg,
+        value_record_name="Conversation", key_record_name="ConversationKey",
+    )
+    ap = CdcApplier(spark, str(tmp_path / "wh"), iplan, n_buckets=4)
+    rows = [
+        env("c1", [(0, "u", "hi", "t")], "c", 1),
+        env("c1", [(0, "u", "hi", "t"), (1, "a", "yo", "t")], "u", 2),
+        env("c1", None, "d", 3),  # tombstone ignored in insert mode
+    ]
+    ap.apply_batch(mkdf(spark, rows), batch_id=0)
+    # appended: 1 turn from envelope 1 + 2 turns from envelope 2
+    assert ap.read("transcripts_conversation_turns").count() == 3
+    assert ap.read("transcripts_conversation").count() == 2
+    # second batch keeps appending (no replacement)
+    ap.apply_batch(mkdf(spark, [env("c1", [(0, "u", "hi", "t")], "u", 4)]), batch_id=1)
+    assert ap.read("transcripts_conversation_turns").count() == 4
+
+
+def test_update_mode_ignores_unknown_keys(spark, tmp_path):
+    """insert.mode=update: rows for existing keys are modified, unknown
+    keys silently ignored (SQL UPDATE semantics); works across the MOR
+    mode-change compaction."""
+    import dataclasses
+
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config,
+    )
+
+    base_cfg = transcript_flatten_config()
+    plan_upsert = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA, TRANSCRIPT_VALUE_SCHEMA, base_cfg,
+        value_record_name="Conversation", key_record_name="ConversationKey",
+    )
+    wh = str(tmp_path / "wh")
+    ap1 = CdcApplier(spark, wh, plan_upsert, n_buckets=4)
+    ap1.apply_batch(
+        mkdf(spark, [env("c1", [(0, "u", "old", "t"), (1, "a", "keep", "t")], "c", 1)]),
+        batch_id=0,
+    )
+
+    cfg_upd = dataclasses.replace(base_cfg, insert_mode="update")
+    plan_upd = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA, TRANSCRIPT_VALUE_SCHEMA, cfg_upd,
+        value_record_name="Conversation", key_record_name="ConversationKey",
+    )
+    ap2 = CdcApplier(spark, wh, plan_upd, n_buckets=4)
+    rows = [
+        env("c1", [(0, "u", "NEW", "t")], "u", 10),   # turn 0 exists → updated
+        env("c2", [(0, "u", "nope", "t")], "c", 11),  # unknown conv → ignored
+    ]
+    ap2.apply_batch(mkdf(spark, rows), batch_id=1)
+    turns = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in ap2.read("transcripts_conversation_turns").collect()
+    }
+    # row-level update: turn 0 modified, turn 1 untouched, c2 absent
+    assert turns == {("c1", 0): "NEW", ("c1", 1): "keep"}
+    # tombstone in update mode (delete_enabled) wipes the key
+    ap2.apply_batch(mkdf(spark, [env("c1", None, "d", 12)]), batch_id=2)
+    assert ap2.read("transcripts_conversation_turns").count() == 0
