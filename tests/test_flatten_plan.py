@@ -285,3 +285,52 @@ def test_uppercase():
     plan = compile_flatten_plan(None, PERSON_ADDRESS, cfg, value_record_name="Person")
     assert "ATOPIC_PERSON" in table_names(plan)
     assert "FIRSTNAME" in cols(plan, "ATOPIC_PERSON")
+
+
+def test_fields_whitelist_prunes_non_pk_leaves():
+    """fields.whitelist parity (FieldsMetadata.java:144-146,
+    JdbcSinkConfig.java:188-196): only whitelisted simple names
+    survive; PK fields always survive."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.config import FlattenConfig
+    from kafka_connect_jdbc_flatten_spark.plans import compile_flatten_plan
+
+    schema = T.StructType(
+        [
+            T.StructField("keep_me", T.StringType(), True),
+            T.StructField("drop_me", T.StringType(), True),
+            T.StructField("pk_col", T.LongType(), False),
+        ]
+    )
+    cfg = FlattenConfig(
+        topic="t",
+        fields_whitelist=frozenset(["keep_me"]),
+        pk_fields=("rec.pk_col",),
+    )
+    plan = compile_flatten_plan(None, schema, cfg, value_record_name="Rec")
+    cols = [c.out_name for c in plan.tables[0].columns]
+    assert "keep_me" in cols and "drop_me" not in cols
+    # PK survives the whitelist (the reference adds PKs back)
+    assert any("pk_col" in c for c in cols)
+
+
+def test_plan_cache_capacity_config_parity():
+    """flatten.instruction_cache_size parity
+    (JdbcSinkConfig.java:326-332): the LRU evicts past capacity."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.config import FlattenConfig
+    from kafka_connect_jdbc_flatten_spark.plans import PlanCache
+
+    cfg = FlattenConfig(topic="t", instruction_cache_size=2)
+    cache = PlanCache(capacity=cfg.instruction_cache_size)
+    schemas = [
+        T.StructType([T.StructField(f"f{i}", T.StringType(), True)])
+        for i in range(3)
+    ]
+    plans = [cache.get(None, s, cfg, "R", None) for s in schemas]
+    # schema 0 evicted (capacity 2): a re-get compiles a NEW object
+    assert cache.get(None, schemas[0], cfg, "R", None) is not plans[0]
+    # schema 2 still cached
+    assert cache.get(None, schemas[2], cfg, "R", None) is plans[2]

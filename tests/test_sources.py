@@ -162,3 +162,39 @@ def test_poller_timestamp_initial_seeds_first_poll(spark, events):
         timestamp_initial="current",
     )
     assert cur.poll(events).count() == 0  # history skipped
+
+
+def test_table_monitor_discovers_and_drops(spark, tmp_path):
+    """S7 table discovery (TableMonitorThread.java): catalog polling
+    reports added/dropped tables; whitelist/blacklist filter; the diff
+    is the reconfiguration trigger."""
+    import shutil as _sh
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.lake.table import LakeTable
+    from kafka_connect_jdbc_flatten_spark.sources.monitor import TableMonitor
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    LakeTable.create(spark, f"{wh}/alpha", schema, ["id"])
+    mon = TableMonitor(wh)
+    assert mon.changed()
+    first = mon.poll()
+    assert first["added"] == ["alpha"] and not first["dropped"]
+    assert not mon.changed()
+
+    LakeTable.create(spark, f"{wh}/beta", schema, ["id"])
+    assert mon.changed()
+    assert mon.poll()["added"] == ["beta"]
+
+    _sh.rmtree(f"{wh}/alpha")
+    assert mon.poll()["dropped"] == ["alpha"]
+
+    # filters + mutual exclusion
+    LakeTable.create(spark, f"{wh}/gamma", schema, ["id"])
+    assert TableMonitor(wh, whitelist=frozenset(["beta"])).list_tables() == ["beta"]
+    assert TableMonitor(wh, blacklist=frozenset(["beta"])).list_tables() == ["gamma"]
+    with _pytest.raises(ValueError):
+        TableMonitor(wh, whitelist=frozenset(["a"]), blacklist=frozenset(["b"]))
