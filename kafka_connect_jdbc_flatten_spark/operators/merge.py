@@ -76,7 +76,7 @@ class CdcApplier:
         warehouse: str,
         plan: FlattenPlan,
         n_buckets: int = 16,
-        max_broadcast_keys: int = 2_000_000,
+        max_broadcast_keys: int = 8_000_000,
     ):
         if not plan.tables:
             raise ValueError("plan has no target tables")
@@ -104,12 +104,15 @@ class CdcApplier:
         batch_id: int | None = None,
         strategy: str = "mor",
         writer_suffix: str = "",
+        n_rows_hint: int | None = None,
     ) -> dict:
         """Flatten + MERGE one micro-batch.  Returns per-table stats.
 
         ``writer_suffix`` namespaces the exactly-once batch-id ledger —
         the schema-drift path applies one micro-batch as several
-        per-schema sub-batches, each needing its own dedup key."""
+        per-schema sub-batches, each needing its own dedup key.
+        ``n_rows_hint`` (batch row count, if the caller already knows
+        it) makes the LWW broadcast-size guard free."""
         plan = self.plan
         key_cols = [c for c in plan.key_pk_columns]
         if not key_cols:
@@ -152,8 +155,8 @@ class CdcApplier:
         # driver-sized broadcast.  The reduced set is persisted:
         # every target table's flatten + its tombstone scan reads it
         # instead of re-running the reduction 2×n_tables times.
-        reduced, _n_keys = lww_reduce_auto(
-            changelog, ["key"], ["seq"], self.max_broadcast_keys
+        reduced, _n_rows = lww_reduce_auto(
+            changelog, ["key"], ["seq"], self.max_broadcast_keys, n_rows_hint
         )
         is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
         upserts = reduced.filter(~is_del)

@@ -18,6 +18,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    db_timezone: str = "UTC",
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -25,6 +26,15 @@ def get_spark(
     partitions default to the core count — on a real cluster this is
     instead sized to ``executors * cores * 2-3`` and AQE coalesces
     down at runtime.
+
+    ``db_timezone`` is the ``db.timezone`` parity knob
+    (``JdbcSinkConfig.java:218-223`` / binding
+    ``GenericDatabaseDialect.java:1612-1649``): the reference binds
+    DATE/TIME/TIMESTAMP values through a Calendar in this zone; on
+    Spark the same role is played by ``spark.sql.session.timeZone`` —
+    it controls how TIMESTAMP (instant) values render, parse from
+    strings, and split into date/time parts.  Stored instants are
+    zone-independent either way.
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -43,7 +53,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", db_timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

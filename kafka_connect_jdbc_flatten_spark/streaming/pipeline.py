@@ -107,7 +107,13 @@ class StreamingIngest:
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
         lineage_rows = self._lineage_rows(batch_df)
-        stats = self.applier.apply_batch(batch_df, batch_id=batch_id)
+        # the lineage aggregate already counted the batch — reuse it so
+        # the LWW broadcast-size guard costs nothing
+        stats = self.applier.apply_batch(
+            batch_df,
+            batch_id=batch_id,
+            n_rows_hint=sum(r["rows"] for r in lineage_rows),
+        )
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             # compact + vacuum incl. the shared _commits/ segment dir
             self.applier.maintain()
@@ -255,7 +261,12 @@ class SchemaDriftIngest(StreamingIngest):
         # agnostic) — otherwise a key whose schema alternates within
         # one micro-batch would have its superseded old-schema image
         # land in a LATER segment and win reconciliation
-        reduced, _ = lww_reduce_auto(batch_df, ["key"], ["seq"])
+        reduced, _ = lww_reduce_auto(
+            batch_df,
+            ["key"],
+            ["seq"],
+            n_rows=sum(r["rows"] for r in lineage_rows),
+        )
         # distinct value schemas this micro-batch (tiny aggregate),
         # applied in order of first appearance in the binlog
         groups = sorted(

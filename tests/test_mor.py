@@ -248,3 +248,41 @@ def test_maintain_gcs_orphaned_union_segment_files(spark, tmp_path):
     # second maintain is a no-op
     assert ap.maintain()["compacted"] == 0
     assert ap.read("transcripts_conversation").count() == 3
+
+
+def test_db_timezone_timestamp_semantics(spark, tmp_path):
+    """db.timezone parity (JdbcSinkConfig.java:218-223): the session
+    timezone controls TIMESTAMP rendering/parsing but stored instants
+    are zone-independent — a table written under one zone reads the
+    same instants under another."""
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.sql(
+            "SELECT 1L AS k, timestamp'2024-06-01 12:00:00' AS ts, 1L AS __seq"
+        )
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("ts", T.TimestampType(), True),
+                T.StructField(SEQ_COL, T.LongType(), True),
+            ]
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["k"], n_buckets=2)
+        t.merge(df, mode="lww", batch_id=0)
+        utc_str = t.read().selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ssXXX') s").collect()[0].s
+
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Oslo")
+        oslo_str = t.read().selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ssXXX') s").collect()[0].s
+        # same instant, different rendering (Oslo is UTC+2 in June)
+        assert utc_str == "2024-06-01 12:00:00Z"
+        assert oslo_str == "2024-06-01 14:00:00+02:00"
+        # string→timestamp parsing binds in the session zone, like the
+        # reference's Calendar-based setTimestamp
+        parsed = spark.sql(
+            "SELECT cast('2024-06-01 14:00:00' AS timestamp) AS p"
+        ).collect()[0].p
+        stored = t.read().collect()[0].ts
+        assert parsed == stored
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
