@@ -945,6 +945,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, _queries_df(spark, sf_dir), k=10, dim=64)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + probe-list
+    candidate join + exact rerank.  Run FULL-probe here
+    (nprobe == n_centroids), which is exactly brute force — the oracle
+    validates the whole IVF plumbing (train, assign, probe ordering,
+    rerank); partial-probe recall is asserted in
+    tests/test_functions.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, _queries_df(spark, sf_dir), k=10,
+        n_centroids=8, nprobe=8, iters=2, dim=64,
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, threshold=0.4)
@@ -1051,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
@@ -1100,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", max_hamming=3
         ),
         "ann_brute_topk": ANN_BRUTE_SQL,
+        "ann_ivf_topk": ANN_BRUTE_SQL,  # full probe ≡ exact brute force
         "embedding_neardup": EMB_NEARDUP_SQL,
         "multimodal_meta": MULTIMODAL_META_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,

@@ -220,6 +220,143 @@ def embedding_neardup_pairs_lsh(
     return out
 
 
+# ----------------------------------------------------------------- IVF (ANN)
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a LITERAL centroid — a zip_with/aggregate
+    fold Janino can codegen (same shape as the LSH plane projection)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cids(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids, by (dist², cid) order —
+    array_sort of a (dist, cid) struct array, fully JVM-side."""
+    pairs = F.array(
+        *[
+            F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(pairs), 1, n).getField("i")
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    dim: int | None = None,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer (the IVF training step).
+
+    Init = the ``k`` lowest-``id_col`` vectors (seed-free, reproducible
+    across runs — the engine bans nondeterministic RNG state); then
+    ``iters`` Lloyd iterations as DataFrame jobs: assignment is a
+    JVM-side argmin over literal centroids, the mean recomputation is
+    one ``posexplode``/groupBy aggregate.  Only k·dim floats ever reach
+    the driver — at 100 TB the train set is a sampled fraction and the
+    per-iteration cost is one scan.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        # two-step select: combining the struct-array argmin with a
+        # posexplode in ONE select makes the Generate rewrite re-resolve
+        # the unresolved lambda struct and its field names degrade to
+        # col1/col2 (FIELD_NOT_FOUND on `i`) — resolve cid first.
+        assigned = embeddings.select(
+            _nearest_cids(F.col(vec_col), centroids, 1)[0].alias("cid"),
+            F.col(vec_col).alias("_v"),
+        ).select("cid", F.posexplode("_v").alias("pos", "x"))
+        means = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cluster keeps old center
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        for cid, dims in acc.items():
+            new[cid] = [dims.get(p, centroids[cid][p]) for p in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the table into
+    ``n_centroids`` inverted lists, probe the ``nprobe`` lists nearest
+    each query, exact-rerank the candidates.
+
+    Scale shape: the index assignment is one narrow scan; the probe is
+    a broadcast equi-join on the short ``cid`` key (each vector lives
+    in exactly ONE list — no candidate dedup needed, unlike LSH); the
+    exact cosine runs only on ~nprobe/n_centroids of the table.  With
+    ``nprobe == n_centroids`` results are exactly brute force (that
+    full-probe identity is the oracle gate; partial-probe recall is
+    asserted in tests).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    centroids = ivf_train_centroids(
+        embeddings, n_centroids, dim, iters, vec_col, id_col
+    )
+    indexed = spread(embeddings).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cids(F.col(vec_col), centroids, 1)[0].alias("cid"),
+    )
+    # same two-step shape as the train assignment: explode() of the
+    # lambda-struct argmin in one select trips the Generate re-resolve
+    q_probe = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        _nearest_cids(F.col(query_vec_col), centroids, nprobe).alias("_probe"),
+    ).select(query_id_col, query_vec_col, F.explode("_probe").alias("cid"))
+    cand = indexed.join(F.broadcast(q_probe), "cid").select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine(F.col(vec_col), F.col(query_vec_col)), round_dp
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 # ----------------------------------------------------------------- LSH (ANN)
 def _plane_sign(dim_idx: int, plane_idx: int, table_idx: int) -> int:
     """Deterministic ±1 hyperplane component from md5 — no RNG state."""

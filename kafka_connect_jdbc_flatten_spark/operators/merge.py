@@ -124,11 +124,15 @@ class CdcApplier:
 
         # Project to the columns the apply actually needs BEFORE
         # reducing: `.persist()` below is a column-pruning barrier, so
-        # without this the scan deserializes the `before` image — half
-        # the envelope bytes — that nothing downstream reads.
-        needed = [
-            c for c in changelog.columns if c != "before"
-        ]
+        # without this the scan deserializes envelope bytes — the
+        # `before` image, and the Kafka coordinates when no table
+        # selects them — that nothing downstream reads.
+        base_cols = {"key", "value", "op", "seq"}
+        if any(
+            c.source[0] == "coord" for spec in self.plan.tables for c in spec.columns
+        ):
+            base_cols |= {"topic", "partition", "offset", "timestamp", "timestamp_type"}
+        needed = [c for c in changelog.columns if c in base_cols]
         changelog = changelog.select(*needed)
 
         imode = self.plan.config.insert_mode
@@ -160,7 +164,10 @@ class CdcApplier:
         )
         is_del = F.col("op").eqNullSafe("d") | F.col("value").isNull()
         upserts = reduced.filter(~is_del)
-        deletes = reduced.filter(is_del)
+        # tombstones are a sliver of a CDC batch but every target table
+        # derives its delete rows from them — cache the sliver so the
+        # per-table scans don't each re-read the full winner cache
+        deletes = reduced.filter(is_del).persist()
 
         if imode == "update":
             # insert.mode=update: modify-only, unknown keys silently
@@ -169,6 +176,7 @@ class CdcApplier:
             stats = self._apply_update(
                 upserts, deletes, batch_id, strategy, writer_suffix
             )
+            deletes.unpersist()
             reduced.unpersist()
             return stats
 
@@ -178,6 +186,7 @@ class CdcApplier:
                 stats = self._apply_mor_union(
                     upserts, deletes, batch_id, writer_suffix
                 )
+                deletes.unpersist()
                 reduced.unpersist()
                 return stats
             except AnalysisException:
@@ -209,6 +218,7 @@ class CdcApplier:
         with ThreadPoolExecutor(max_workers=len(plan.tables)) as pool:
             for name, st in pool.map(_merge_one, plan.tables):
                 stats[name] = st
+        deletes.unpersist()
         reduced.unpersist()
         return stats
 

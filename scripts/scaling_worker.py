@@ -36,11 +36,14 @@ def main():
         .config("spark.sql.adaptive.enabled", "false")  # per-stage re-planning costs more than it saves on micro-batch queries
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
-        # nested-envelope deserialization is the per-byte-expensive
-        # part of the scan: split small parquet files aggressively so
-        # input parallelism never caps below the core count
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
+        # split size balances two serial costs: splits must outnumber
+        # cores (parallelism) but every task costs ~10 ms of SERIAL
+        # driver scheduling — at 16 MB splits the replay ran ~190-task
+        # stages whose scheduling alone was the Amdahl term (measured
+        # ~9% serial → 0.79 efficiency); 64 MB splits keep ≥8 splits
+        # per micro-batch scan and cut per-task overhead 4×
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
         .appName(f"scaling-{cpus}")
         .getOrCreate()
     )

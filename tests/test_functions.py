@@ -232,3 +232,37 @@ def test_embedding_neardup_lsh_pair_dedup_is_vector_free(spark):
     # every hashpartitioning exchange on id1/id2 must not carry v
     for m in re.finditer(r"Exchange hashpartitioning\(id1[^\n]*", plan):
         assert ", v1" not in m.group(0) and ", v2" not in m.group(0), m.group(0)
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe == n_centroids makes IVF exactly brute force — validates
+    train/assign/probe/rerank end-to-end."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id, r.score, r.rank)
+             for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id, r.score, r.rank)
+           for r in SIM.ivf_topk(emb, q, k=5, n_centroids=4, nprobe=4, iters=1, dim=64).collect()}
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """Partial probe trades candidates for recall; with nprobe=half the
+    lists, recall vs brute force must stay high on the testdata."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in SIM.brute_force_topk(emb, q, k=10).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in SIM.ivf_topk(emb, q, k=10, n_centroids=8, nprobe=4, iters=2, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # the probe join must be an equi-join on cid, never a BNL
+    plan = SIM.ivf_topk(
+        emb, q, k=10, n_centroids=8, nprobe=4, iters=2, dim=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
