@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from kafka_connect_jdbc_flatten_spark.config import FlattenConfig
+from kafka_connect_jdbc_flatten_spark.functions import cluster as CL
 from kafka_connect_jdbc_flatten_spark.functions import dedup as D
+from kafka_connect_jdbc_flatten_spark.functions import pack as PK
+from kafka_connect_jdbc_flatten_spark.functions import sample as SMP
 from kafka_connect_jdbc_flatten_spark.functions import similarity as SIM
 from kafka_connect_jdbc_flatten_spark.functions import text as TX
 from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
@@ -854,6 +857,22 @@ FROM documents
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line fraction,
+    top bigram/trigram share).  Spark computes the top-gram count via
+    an O(n log n) sorted-run fold; the oracle uses the O(d·n)
+    filter-per-distinct form — same value, different plan."""
+    docs = _read(spark, sf_dir, "documents")
+    feats = TX.repetition_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def repetition_sql() -> str:
+    feats = TX.repetition_features_sql("text")
+    cols = ",\n       ".join(f"{sql} AS {n}" for n, sql in feats.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
@@ -900,6 +919,128 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), "text", "doc_id",
         n=3, n_hashes=32, bands=8, threshold=0.5,
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the MinHash-LSH pair graph
+    (distributed min-label + pointer-jumping connected components) with
+    canonical-member keep flags — the partition a training pipeline
+    actually consumes, not just pairs.  Deterministic ⇒ exact oracle
+    (recursive-CTE closure in DuckDB)."""
+    return CL.dedup_clusters(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, n_hashes=32, bands=8, threshold=0.5,
+    )
+
+
+DEDUP_CLUSTERS_SQL = CL.dedup_clusters_sql(
+    "documents", "text", "doc_id", n=3, n_hashes=32, bands=8, threshold=0.5
+)
+
+# training-mix rates: keep half the English, all German, a quarter of
+# the rest — arbitrary but fixed; the point is per-stratum thresholds
+SAMPLE_RATES = {"en": 0.5, "de": 1.0}
+SAMPLE_DEFAULT = 0.25
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling by predicted language:
+    salted-md5 bucket per doc, per-stratum integer thresholds.  The
+    same rows survive at any parallelism (north-rule property) and the
+    selection reproduces bit-for-bit in DuckDB."""
+    docs = _read(spark, sf_dir, "documents")
+    return SMP.stratified_sample(
+        docs, TX.lang_id("text"), SAMPLE_RATES, "doc_id",
+        default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "stratum", "bucket")
+
+
+STRATIFIED_SAMPLE_SQL = SMP.stratified_sample_sql(
+    "documents",
+    TX.lang_id_sql("text"),
+    SAMPLE_RATES,
+    "doc_id",
+    select="doc_id, stratum, bucket",
+    default_rate=SAMPLE_DEFAULT,
+)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk packing manifest: docs hash-bucketed
+    into 8 independent shards, per-shard running token offsets map each
+    doc to its fixed-size training windows.  Pure window arithmetic —
+    exact DuckDB mirror."""
+    docs = _read(spark, sf_dir, "documents")
+    return PK.pack_manifest(docs, "doc_id", max_tokens=512, n_shards=8)
+
+
+SEQUENCE_PACKING_SQL = PK.pack_manifest_sql(
+    "documents", "doc_id", max_tokens=512, n_shards=8
+)
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep composite: quality-score filter
+    + exact-dedup winners + near-dup cluster drop list, in one plan.
+    The shapes compose: scoring is scan-local column math, the winner
+    check is a semi-join on doc_id, the drop list an anti-join."""
+    docs = _read(spark, sf_dir, "documents")
+    feats = TX.text_quality(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        TX.lang_id("text").alias("lang"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    winners = D.exact_dedup(docs, "text", "doc_id").select(
+        F.col("winner_id").alias("doc_id")
+    )
+    drops = (
+        CL.dedup_clusters(docs, "text", "doc_id")
+        .filter(F.col("keep") == 0)
+        .select("doc_id")
+    )
+    return (
+        scored.filter(F.col("quality_score") >= 0.5)
+        .join(winners, "doc_id", "left_semi")
+        .join(drops, "doc_id", "left_anti")
+    )
+
+
+def _corpus_prep_sql() -> str:
+    pairs = D.minhash_lsh_pairs_sql(
+        "documents", "text", "doc_id", n=3, n_hashes=32, bands=8, threshold=0.5
+    )
+    lang = TX.lang_id_sql("text")
+    score = TX.text_quality_sql("text")["quality_score"]
+    winners = D.exact_dedup_sql("documents", "text", "doc_id")
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM p
+  UNION
+  SELECT id2, id1 FROM p
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+drops AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id != min(r)
+),
+winners AS (SELECT winner_id AS doc_id FROM ({winners})),
+scored AS (
+  SELECT doc_id, {lang} AS lang, {score} AS quality_score FROM documents
+)
+SELECT s.doc_id, s.lang, s.quality_score
+FROM scored s
+JOIN winners w ON w.doc_id = s.doc_id
+LEFT JOIN drops d ON d.doc_id = s.doc_id
+WHERE d.doc_id IS NULL AND s.quality_score >= 0.5
+"""
+
+
+CORPUS_PREP_SQL = _corpus_prep_sql()
 
 
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,10 +1198,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
+        "repetition_features": q_repetition,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
+        "corpus_prep": q_corpus_prep,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1102,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": text_quality_sql(),
         "token_counts": TOKEN_COUNTS_SQL,
         "lang_id": LANG_ID_SQL,
+        "repetition_features": repetition_sql(),
         "doc_fingerprint": FINGERPRINT_SQL,
         "dedup_exact": D.exact_dedup_sql("documents", "text", "doc_id"),
         "ngram_jaccard": D.ngram_jaccard_pairs_sql(
@@ -1110,6 +1257,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(
             "documents", "text", "doc_id", n=3, n_hashes=32, bands=8, threshold=0.5
         ),
+        "dedup_clusters": DEDUP_CLUSTERS_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "sequence_packing": SEQUENCE_PACKING_SQL,
+        "corpus_prep": CORPUS_PREP_SQL,
         "simhash_values": f"SELECT doc_id, {D.simhash_sql('text')} AS simhash FROM documents",
         "dedup_simhash": D.simhash_neardup_pairs_sql(
             "documents", "text", "doc_id", max_hamming=3

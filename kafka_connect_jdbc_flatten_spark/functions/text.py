@@ -215,3 +215,112 @@ def fingerprint_sql(col: str) -> str:
 
 def fingerprint64_sql(col: str) -> str:
     return f"CAST(('0x' || substring({fingerprint_sql(col)}, 1, 15)) AS BIGINT)"
+
+
+# --------------------------------------------------- repetition (quality)
+def _word_grams(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined, order-preserving, with repeats)."""
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _max_dup_count(arr: Column) -> Column:
+    """Occurrence count of the most frequent element: sort, then one
+    fold tracking the longest equal-run — O(n log n) per row vs the
+    O(distinct·n) filter-per-distinct form (which the DuckDB mirror
+    uses; both compute the same value)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
+
+
+def repetition_features(col: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals: duplicate-line fraction and
+    most-frequent-bigram/-trigram token share.  High values mark
+    boilerplate/spam documents a pretraining filter drops.  Pure
+    column expressions; exact DuckDB mirror."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines > 0, F.round(
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"), 6
+    )).otherwise(F.lit(0.0))
+    toks = ws_tokens(F.lower(c))
+
+    def top_frac(n: int) -> Column:
+        g = _word_grams(toks, n)
+        sz = F.size(g)
+        return F.when(sz > 0, F.round(
+            _max_dup_count(g) / sz.cast("double"), 6
+        )).otherwise(F.lit(0.0))
+
+    return {
+        "dup_line_frac": dup_line_frac,
+        "top_bigram_frac": top_frac(2),
+        "top_trigram_frac": top_frac(3),
+    }
+
+
+def repetition_features_sql(col: str) -> dict[str, str]:
+    lines = (
+        f"list_filter(list_transform(string_split({col}, chr(10)), "
+        f"l -> trim(l)), l -> l != '')"
+    )
+    dup_line = (
+        f"CASE WHEN len({lines}) > 0 THEN "
+        f"round(1.0 - len(list_distinct({lines})) / len({lines})::DOUBLE, 6) "
+        f"ELSE 0.0 END"
+    )
+    toks = f"string_split(trim(lower({col})), ' ')"
+    # NB: the Spark side splits on \s+ after trim; mirror via the same
+    # ws_tokens normalization: collapse whitespace first
+    toks = (
+        f"CASE WHEN trim({col}) = '' THEN []::VARCHAR[] ELSE "
+        f"string_split(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'), ' ') END"
+    )
+
+    def grams(n: int) -> str:
+        k = f"(len({toks}) - {n - 1})"
+        g = (
+            f"list_transform(range(1, greatest({k}, 1) + 1), "
+            f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+        )
+        return f"CASE WHEN {k} >= 1 THEN {g} ELSE []::VARCHAR[] END"
+
+    def top(n: int) -> str:
+        g = grams(n)
+        mx = (
+            f"list_max(list_transform(list_distinct({g}), "
+            f"d -> len(list_filter({g}, x -> x = d))))"
+        )
+        return (
+            f"CASE WHEN len({g}) > 0 THEN "
+            f"round({mx} / len({g})::DOUBLE, 6) ELSE 0.0 END"
+        )
+
+    return {
+        "dup_line_frac": dup_line,
+        "top_bigram_frac": top(2),
+        "top_trigram_frac": top(3),
+    }

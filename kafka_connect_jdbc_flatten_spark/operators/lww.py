@@ -120,14 +120,21 @@ def lww_reduce_auto(
     """Cardinality-guarded LWW: broadcast-winner form while the winner
     set provably fits a broadcast, ``max_by`` aggregate form beyond it.
 
-    The guard is the batch ROW count — a strict upper bound on distinct
-    keys.  Callers that already know the batch size (the streaming
-    ingest computes per-partition lineage counts anyway) pass it as
-    ``n_rows`` and the guard costs NOTHING; otherwise one narrow count
-    scan runs.  At ~50 MB per 10⁶ keys the 8 M default caps the winner
-    broadcast at ~400 MB — comfortable for a CDC driver while still
-    routing an unbounded backfill batch (the whole changelog as batch
-    0) to the aggregate path instead of OOMing.
+    The first-level guard is the batch ROW count — a strict upper
+    bound on distinct keys.  Callers that already know the batch size
+    (the streaming ingest computes per-partition lineage counts
+    anyway) pass it as ``n_rows`` and the guard costs NOTHING;
+    otherwise one narrow count scan runs.  A CDC feed typically
+    carries MANY events per key (turn appends to one conversation),
+    so when the row count alone exceeds the cap a second-level
+    ``approx_count_distinct`` probe — one column-pruned scan of the
+    key columns — checks the real key cardinality before giving up
+    on the broadcast form; only a batch whose (HLL-estimated, safety
+    -margined) key count genuinely exceeds the cap pays the aggregate
+    path's wide shuffle.  At ~50 MB per 10⁶ keys the 8 M default caps
+    the winner broadcast at ~400 MB — comfortable for a CDC driver
+    while still routing an unbounded high-cardinality backfill to the
+    aggregate path instead of OOMing.
 
     (key, order) ties — redelivered identical records — are detected
     from the CACHED reduced set (a narrow aggregate over cached rows)
@@ -140,9 +147,16 @@ def lww_reduce_auto(
     if n_rows is None:
         n_rows = df.count()
     if n_rows > max_broadcast_keys:
-        out = lww_reduce_agg(df, list(keys), list(order_cols)).persist()
-        out.count()
-        return out, n_rows
+        key_col = (
+            F.col(keys[0]) if len(keys) == 1 else F.struct(*[F.col(k) for k in keys])
+        )
+        n_keys = df.agg(
+            F.approx_count_distinct(key_col, 0.02).alias("c")
+        ).collect()[0][0]
+        if n_keys * 1.1 > max_broadcast_keys:  # 1.1 = HLL rsd margin
+            out = lww_reduce_agg(df, list(keys), list(order_cols)).persist()
+            out.count()
+            return out, n_rows
 
     semi = _broadcast_semi(df, list(keys), list(order_cols)).persist()
     tie_keys = (

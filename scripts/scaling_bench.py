@@ -169,7 +169,7 @@ levels on the SAME input.
   replay precedes each measurement (JIT/codec init would otherwise
   charge a constant to both levels).
 * **Identical job config at both levels** (shuffle partitions 64,
-  n_buckets 32, AQE off, 16 MB input splits) — only the core count
+  n_buckets 32, AQE off, 64 MB input splits) — only the core count
   varies, exactly like scaling executors on a real cluster.
 * **Level choice N={n}**: this firecracker VM saturates its memory
   bandwidth at ~4-8 busy cores for parquet-decode-heavy work (raw-CPU

@@ -1,0 +1,173 @@
+"""Connected-components near-dup clustering + stratified sampling."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_jdbc_flatten_spark.functions import cluster as CL
+from kafka_connect_jdbc_flatten_spark.functions import sample as SMP
+from kafka_connect_jdbc_flatten_spark.functions import text as TX
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id1 long, id2 long")
+
+
+def test_cc_chain_collapses_to_min(spark):
+    """A 10-node path graph needs transitive closure (adjacent pairs
+    only) — pointer jumping must converge it to one cluster."""
+    cc = CL.connected_components(
+        _pairs(spark, [(i, i + 1) for i in range(9)])
+    )
+    rows = {r.id: r.cluster_id for r in cc.collect()}
+    assert rows == {i: 0 for i in range(10)}
+
+
+def test_cc_two_components_and_orientation(spark):
+    """Components stay separate; edge orientation (id2 < id1) and
+    duplicate edges don't matter."""
+    cc = CL.connected_components(
+        _pairs(spark, [(5, 3), (3, 5), (3, 7), (20, 21)])
+    )
+    rows = {r.id: r.cluster_id for r in cc.collect()}
+    assert rows == {3: 3, 5: 3, 7: 3, 20: 20, 21: 20}
+
+
+def test_cc_empty_pairs(spark):
+    cc = CL.connected_components(_pairs(spark, []))
+    assert cc.collect() == []
+
+
+def test_dedup_clusters_matches_duckdb_closure(spark):
+    """End-to-end on real documents: Spark LSH pairs → distributed CC
+    must equal DuckDB's recursive-CTE closure over the same pair SQL."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in CL.dedup_clusters(docs, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            CL.dedup_clusters_sql("documents", "text", "doc_id")
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) > 0  # fixture actually contains near-dups
+
+
+def test_stratified_sample_partition_invariant(spark):
+    """The SAME rows must survive regardless of partitioning — the
+    property Spark's own sample() lacks and the north rule needs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"en": 0.5, "de": 1.0}
+    pick = lambda df: {
+        r.doc_id
+        for r in SMP.stratified_sample(
+            df, TX.lang_id("text"), rates, "doc_id", default_rate=0.25
+        ).select("doc_id").collect()
+    }
+    a = pick(docs.repartition(1))
+    b = pick(docs.repartition(16, "doc_id"))
+    assert a == b
+    assert 0 < len(a) < docs.count()
+
+
+def test_stratified_sample_rate_edges(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = SMP.stratified_sample(
+        docs, F.lit("x"), {"x": 1.0}, "doc_id", default_rate=0.0
+    )
+    none = SMP.stratified_sample(
+        docs, F.lit("x"), {"x": 0.0}, "doc_id", default_rate=1.0
+    )
+    assert full.count() == docs.count()
+    assert none.count() == 0
+
+
+def test_stratified_sample_rate_is_approximately_honored(spark):
+    """Uniform bucket hash: a 50% rate keeps ~half (binomial bound)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    kept = SMP.stratified_sample(
+        docs, F.lit("x"), {"x": 0.5}, "doc_id"
+    ).count()
+    assert abs(kept / n - 0.5) < 0.15, (kept, n)
+
+
+def test_pack_manifest_matches_duckdb(spark):
+    """Packing manifest must replicate bit-for-bit in DuckDB (shard
+    hash, per-shard offsets, window spans)."""
+    import duckdb as _dd
+
+    from kafka_connect_jdbc_flatten_spark.functions import pack as PK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        tuple(r)
+        for r in PK.pack_manifest(docs, "doc_id", max_tokens=512, n_shards=4)
+        .collect()
+    }
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            PK.pack_manifest_sql("documents", "doc_id", max_tokens=512, n_shards=4)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pack_manifest_offsets_are_contiguous_per_shard(spark):
+    """Within a shard, doc offsets tile the token stream exactly: each
+    doc starts where the previous one ended."""
+    from kafka_connect_jdbc_flatten_spark.functions import pack as PK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = (
+        PK.pack_manifest(docs, "doc_id", max_tokens=128, n_shards=2)
+        .orderBy("shard", "doc_id")
+        .collect()
+    )
+    pos = {}
+    for r in rows:
+        assert r.offset == pos.get(r.shard, 0), r
+        pos[r.shard] = r.offset + r.n_tokens
+        assert r.first_window == r.offset // 128
+        assert r.last_window == (r.offset + r.n_tokens - 1) // 128
+
+
+def test_repetition_features_match_duckdb(spark):
+    """Spark's sorted-run fold and DuckDB's filter-per-distinct form
+    must agree on every repetition metric."""
+    import duckdb as _dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = TX.repetition_features(F.col("text"))
+    got = {
+        r.doc_id: (r.dup_line_frac, r.top_bigram_frac, r.top_trigram_frac)
+        for r in docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        .collect()
+    }
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    sql_feats = TX.repetition_features_sql("text")
+    cols = ", ".join(f"{s} AS {n}" for n, s in sql_feats.items())
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(f"SELECT doc_id, {cols} FROM documents").fetchall()
+    }
+    assert got == want
+    assert any(v != (0.0, 0.0, 0.0) for v in got.values())

@@ -224,11 +224,17 @@ def test_lww_auto_cardinality_guard(spark):
     # guard = batch row count (strict upper bound on distinct keys)
     bcast, n1 = lww_reduce_auto(df, ["key"], ["seq"], max_broadcast_keys=100_000)
     fallb, n2 = lww_reduce_auto(df, ["key"], ["seq"], max_broadcast_keys=100)
-    assert n1 == n2 == 50_000
+    # rows exceed the cap but TRUE key cardinality (10k, via the HLL
+    # probe) stays under it: the broadcast form must be kept — a CDC
+    # batch with many events per key must not pay the wide shuffle
+    probed, n3 = lww_reduce_auto(df, ["key"], ["seq"], max_broadcast_keys=20_000)
+    assert n1 == n2 == n3 == 50_000
     assert sorted(bcast.collect()) == expect
     assert sorted(fallb.collect()) == expect
+    assert sorted(probed.collect()) == expect
     bcast.unpersist()
     fallb.unpersist()
+    probed.unpersist()
 
 
 def test_mixed_type_plans_route_to_per_table_merge(spark, tmp_path):
