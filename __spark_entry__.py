@@ -121,6 +121,33 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applier.read(TURNS_TABLE)
 
 
+def q_pk_mode_record_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay under ``pk.mode=record_key`` (FieldsMetadata.java:
+    272-330): no dotted pk.fields — ALL record-key struct fields become
+    the PK of every table, so the turns table merges on ``conv_id``
+    alone and each envelope whole-image-replaces the conversation.
+    Final state must equal the flatten-mode replay."""
+    import dataclasses as _dc
+
+    wh = _tmp("rkey")
+    cfg = _dc.replace(
+        transcript_flatten_config(),
+        pk_mode="record_key",
+        pk_fields=(),
+        rename_fields={"conversation.conv_id": "conv_id_img"},
+    )
+    plan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        cfg,
+        value_record_name="Conversation",
+        key_record_name="ConversationKey",
+    )
+    applier = CdcApplier(spark, wh, plan, n_buckets=8)
+    applier.apply_batch(transcript_changelog(spark, sf_dir), batch_id=0)
+    return applier.read(TURNS_TABLE)
+
+
 def q_cdc_streaming_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same replay through Structured Streaming (checkpointed file-tail
     of binlog segments, foreachBatch apply — S2, S4, A1-A6)."""
@@ -1174,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC / flatten core (SURVEY §2)
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_streaming_resume": q_cdc_streaming_resume,
+        "pk_mode_record_key": q_pk_mode_record_key,
         "flatten_explode_prefixes": q_flatten_explode_prefixes,
         "flatten_map_explode": q_flatten_map_explode,
         "flatten_coordinates": q_flatten_coordinates,
@@ -1225,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": FINAL_STATE_SQL,
         "cdc_streaming_resume": FINAL_STATE_SQL,
+        "pk_mode_record_key": FINAL_STATE_SQL,
         "flatten_explode_prefixes": FLATTEN_PREFIXES_SQL,
         "flatten_map_explode": MAP_EXPLODE_SQL,
         "flatten_coordinates": COORDINATES_SQL,

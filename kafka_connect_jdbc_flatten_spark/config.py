@@ -41,7 +41,9 @@ class FlattenConfig:
     containers_whitelist: frozenset[str] = frozenset()  # :319-325
     rename_fields: dict[str, str] = field(default_factory=dict)  # :280-287
     rename_tables: dict[str, str] = field(default_factory=dict)  # :288-295
-    pk_mode: str = "none"  # "none" | "flatten" (PrimaryKeyMode, :144-171)
+    # "none" | "flatten" | "kafka" | "record_key" | "record_value"
+    # (PrimaryKeyMode, JdbcSinkConfig.java:55-61, :144-171)
+    pk_mode: str = "none"
     pk_fields: tuple[str, ...] = ()
     pk_propagate_value_fields: tuple[str, ...] = ()  # :312-318
     delete_enabled: bool = False  # :116-118

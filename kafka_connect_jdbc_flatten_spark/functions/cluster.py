@@ -84,10 +84,15 @@ def connected_components(
         ref = stepped.select(
             F.col("id").alias("ref_id"), F.col("lbl").alias("ref_lbl")
         )
+        # localCheckpoint (not just persist): each round references the
+        # previous labels 3× (neighbor join, jump self-join, convergence
+        # diff), so the LOGICAL plan would grow ~3^rounds and OOM the
+        # driver on long-diameter graphs before any data does —
+        # truncating lineage per round keeps the plan O(1)
         jumped = (
             stepped.join(ref, stepped["lbl"] == ref["ref_id"], "left")
             .select("id", F.coalesce("ref_lbl", "lbl").alias("lbl"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             jumped.select("id", F.col("lbl").alias("new_lbl"))

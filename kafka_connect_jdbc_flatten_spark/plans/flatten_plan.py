@@ -242,12 +242,74 @@ def _walk(
     out.append(entry)
 
 
+DEFAULT_KAFKA_PK_NAMES = ("__connect_topic", "__connect_partition", "__connect_offset")
+# JdbcSinkConfig.java:63-69 (DEFAULT_KAFKA_PK_NAMES)
+
+
 def _extract_key_pks(
     key_schema: T.DataType | None,
     key_record_name: str | None,
     cfg: FlattenConfig,
 ) -> list[ColumnSpec]:
-    """Key-PK extraction (``FlattenTransformation.java:334-368``)."""
+    """Key-PK extraction.
+
+    * ``flatten`` — configured dotted ``pk.fields`` hits on the key
+      (``FlattenTransformation.java:334-368``).
+    * ``record_key`` — primitive key needs exactly one configured name;
+      struct key takes all fields (or the configured subset, which must
+      all exist) (``FieldsMetadata.java:272-330``).
+    * ``kafka`` — three coordinate-sourced columns, default names or
+      exactly three configured (``FieldsMetadata.java:240-270``).
+    """
+    if cfg.pk_mode == "kafka":
+        if not cfg.pk_fields:
+            names = DEFAULT_KAFKA_PK_NAMES
+        elif len(cfg.pk_fields) == 3:
+            names = cfg.pk_fields
+        else:
+            raise ValueError(
+                "pk.mode=kafka needs no pk.fields (defaults "
+                f"{DEFAULT_KAFKA_PK_NAMES}) or exactly 3; got {cfg.pk_fields!r} "
+                "(FieldsMetadata.java:240-253)"
+            )
+        return [
+            ColumnSpec(cfg.case(names[0]), ("coord", 0), T.StringType(), False),
+            ColumnSpec(cfg.case(names[1]), ("coord", 1), T.IntegerType(), False),
+            ColumnSpec(cfg.case(names[2]), ("coord", 2), T.LongType(), False),
+        ]
+    if cfg.pk_mode == "record_key":
+        if key_schema is None:
+            raise ValueError(
+                "pk.mode=record_key but record key schema is missing "
+                "(FieldsMetadata.java:280-286)"
+            )
+        if not _is_container(key_schema):
+            if len(cfg.pk_fields) != 1:
+                raise ValueError(
+                    "pk.mode=record_key with a primitive key needs exactly one "
+                    f"pk.fields name; got {cfg.pk_fields!r} "
+                    "(FieldsMetadata.java:288-298)"
+                )
+            return [
+                ColumnSpec(cfg.case(cfg.pk_fields[0]), ("key", None), key_schema, False)
+            ]
+        if isinstance(key_schema, T.StructType):
+            by_name = {f.name: f for f in key_schema.fields}
+            names = cfg.pk_fields or tuple(f.name for f in key_schema.fields)
+            pks = []
+            for n in names:
+                f = by_name.get(n)
+                if f is None:
+                    raise ValueError(
+                        f"pk.mode=record_key pk.fields entry {n!r} not in key "
+                        "schema (FieldsMetadata.java:306-315)"
+                    )
+                pks.append(ColumnSpec(cfg.case(f.name), ("key", f.name), f.dataType, False))
+            return pks
+        raise ValueError(
+            "pk.mode=record_key key schema must be primitive or struct "
+            "(FieldsMetadata.java:324-328)"
+        )
     if cfg.pk_mode != "flatten" or key_schema is None:
         return []
     pks: list[ColumnSpec] = []
@@ -288,6 +350,16 @@ def compile_flatten_plan(
     (``FlattenTransformation.java:135-330``) but emitting declarative
     TableSpecs instead of closure chains.
     """
+    if cfg.pk_mode not in ("none", "flatten", "kafka", "record_key", "record_value"):
+        raise ValueError(
+            f"unknown pk.mode {cfg.pk_mode!r} (JdbcSinkConfig.PrimaryKeyMode)"
+        )
+    if cfg.delete_enabled and cfg.pk_mode not in ("flatten", "record_key"):
+        raise ValueError(
+            "delete.enabled requires pk.mode flatten or record_key — a "
+            "tombstone carries only the key, so coordinate- or value-derived "
+            "PKs cannot scope the delete (JdbcSinkConfig.java:116-131)"
+        )
     key_pks = _extract_key_pks(key_schema, key_record_name, cfg)
     if cfg.pk_mode == "flatten" and cfg.delete_enabled and key_schema is not None and not key_pks:
         raise ValueError(
@@ -306,8 +378,34 @@ def compile_flatten_plan(
         raise TypeError("flatten requires a StructType value schema")
 
     root = _record_name(value_record_name, value_schema)
+    walk_cfg = cfg
+    if cfg.pk_mode == "record_value":
+        # non-flatten RECORD_VALUE semantics adapted to the flatten
+        # engine: PKs come from TOP-LEVEL primitive value fields — all
+        # of them by default, else the configured subset, which must
+        # exist (FieldsMetadata.java:332-366).  Marked leaves follow
+        # the flatten naming rule (PK ⇒ full-path column name).
+        import dataclasses as _dc
+
+        top = {
+            f.name.lower() for f in value_schema.fields if not _is_container(f.dataType)
+        }
+        if cfg.pk_fields:
+            for n in cfg.pk_fields:
+                if n.lower() not in top:
+                    raise ValueError(
+                        f"pk.mode=record_value pk.fields entry {n!r} is not a "
+                        "top-level primitive value field "
+                        "(FieldsMetadata.java:349-358)"
+                    )
+            chosen = tuple(n.lower() for n in cfg.pk_fields)
+        else:
+            chosen = tuple(sorted(top))
+        walk_cfg = _dc.replace(
+            cfg, pk_fields=tuple(f"{root}.{n}" for n in chosen)
+        )
     entries: list[Entry] = []
-    _walk(root, value_schema, False, 0, (), cfg, entries)
+    _walk(root, value_schema, False, 0, (), walk_cfg, entries)
 
     # ---- group by main container (FlattenTransformation.java:149-157) ---
     groups: dict[tuple[int, ...], tuple[tuple[Container, ...], list[Entry]]] = {}

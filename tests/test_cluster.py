@@ -171,3 +171,49 @@ def test_repetition_features_match_duckdb(spark):
     }
     assert got == want
     assert any(v != (0.0, 0.0, 0.0) for v in got.values())
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Distributed CC must agree with a driver-side union-find on
+    deterministic pseudo-random graphs of varying shape (chains,
+    cliques, stars, isolated pairs)."""
+    import hashlib
+
+    def h(i, j):
+        return int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+
+    for seed in range(4):
+        n = 40 + seed * 17
+        edges = [
+            (h(seed, 2 * k) % n, h(seed, 2 * k + 1) % n) for k in range(n // 2)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        want = {x: find(x) for x in touched}
+        # canonical label = min node of the component
+        comp_min: dict[int, int] = {}
+        for x in touched:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in touched}
+
+        got = {
+            r.id: r.cluster_id
+            for r in CL.connected_components(
+                _pairs(spark, [(int(a), int(b)) for a, b in edges])
+            ).collect()
+        }
+        assert got == want, (seed, got, want)

@@ -334,3 +334,125 @@ def test_plan_cache_capacity_config_parity():
     assert cache.get(None, schemas[0], cfg, "R", None) is not plans[0]
     # schema 2 still cached
     assert cache.get(None, schemas[2], cfg, "R", None) is plans[2]
+
+
+# ---------------------------------------------------------------- pk modes
+KEY2 = T.StructType(
+    [
+        T.StructField("keyInt", T.IntegerType(), False),
+        T.StructField("keyName", T.StringType(), False),
+    ]
+)
+
+
+def test_pk_mode_record_key_struct_all_fields():
+    """record_key + struct key, no pk.fields → ALL key fields become
+    PK columns of every table (FieldsMetadata.java:300-305)."""
+    cfg = FlattenConfig(topic="atopic", pk_mode="record_key")
+    plan = compile_flatten_plan(KEY2, PERSON_ADDRESS, cfg, value_record_name="Person")
+    for t in plan.tables:
+        assert [c.out_name for c in t.columns[:2]] == ["keyint", "keyname"]
+        assert t.merge_keys[:2] == ("keyint", "keyname")
+        assert t.key_merge_keys == ("keyint", "keyname")
+
+
+def test_pk_mode_record_key_subset_and_missing_field():
+    cfg = FlattenConfig(topic="atopic", pk_mode="record_key", pk_fields=("keyName",))
+    plan = compile_flatten_plan(KEY2, PERSON_ADDRESS, cfg, value_record_name="Person")
+    assert plan.tables[0].key_merge_keys == ("keyname",)
+    import pytest as _pt
+
+    bad = FlattenConfig(topic="atopic", pk_mode="record_key", pk_fields=("nope",))
+    with _pt.raises(ValueError, match="not in key schema"):
+        compile_flatten_plan(KEY2, PERSON_ADDRESS, bad, value_record_name="Person")
+
+
+def test_pk_mode_record_key_primitive_needs_one_name():
+    import pytest as _pt
+
+    cfg = FlattenConfig(topic="atopic", pk_mode="record_key", pk_fields=("id",))
+    plan = compile_flatten_plan(
+        T.StringType(), PERSON_ADDRESS, cfg, value_record_name="Person"
+    )
+    assert plan.tables[0].columns[0].out_name == "id"
+    assert plan.tables[0].columns[0].source == ("key", None)
+    with _pt.raises(ValueError, match="exactly one"):
+        compile_flatten_plan(
+            T.StringType(),
+            PERSON_ADDRESS,
+            FlattenConfig(topic="atopic", pk_mode="record_key"),
+            value_record_name="Person",
+        )
+
+
+def test_pk_mode_kafka_default_and_configured_names():
+    """kafka mode: 3 coordinate-sourced PK columns, default
+    __connect_* names or exactly 3 configured
+    (FieldsMetadata.java:240-270)."""
+    import pytest as _pt
+
+    cfg = FlattenConfig(topic="atopic", pk_mode="kafka")
+    plan = compile_flatten_plan(None, PERSON_ADDRESS, cfg, value_record_name="Person")
+    for t in plan.tables:
+        assert [c.out_name for c in t.columns[:3]] == [
+            "__connect_topic", "__connect_partition", "__connect_offset",
+        ]
+        assert [c.source for c in t.columns[:3]] == [
+            ("coord", 0), ("coord", 1), ("coord", 2),
+        ]
+        assert t.merge_keys[:3] == (
+            "__connect_topic", "__connect_partition", "__connect_offset",
+        )
+    named = FlattenConfig(
+        topic="atopic", pk_mode="kafka", pk_fields=("t", "p", "o")
+    )
+    plan2 = compile_flatten_plan(None, PERSON_ADDRESS, named, value_record_name="Person")
+    assert [c.out_name for c in plan2.tables[0].columns[:3]] == ["t", "p", "o"]
+    with _pt.raises(ValueError, match="exactly 3"):
+        compile_flatten_plan(
+            None,
+            PERSON_ADDRESS,
+            FlattenConfig(topic="atopic", pk_mode="kafka", pk_fields=("a", "b")),
+            value_record_name="Person",
+        )
+
+
+def test_pk_mode_record_value_subset_and_default_all():
+    """record_value: PKs from top-level primitive value fields —
+    configured subset or all (FieldsMetadata.java:332-366); names
+    follow the flatten rule (PK ⇒ full path)."""
+    import pytest as _pt
+
+    cfg = FlattenConfig(
+        topic="atopic", pk_mode="record_value", pk_fields=("firstname",)
+    )
+    plan = compile_flatten_plan(None, PERSON_ADDRESS, cfg, value_record_name="Person")
+    root = spec(plan, "atopic_person")
+    assert root.merge_keys == ("person_firstname",)
+    # child table does NOT inherit record_value PKs (they live on the
+    # root struct, not the exploded chain)
+    child = spec(plan, "atopic_person_address")
+    assert child.merge_keys == ()
+    all_cfg = FlattenConfig(topic="atopic", pk_mode="record_value")
+    plan2 = compile_flatten_plan(None, PERSON_ADDRESS, all_cfg, value_record_name="Person")
+    assert len(spec(plan2, "atopic_person").merge_keys) == len(PERSON_SCALARS)
+    with _pt.raises(ValueError, match="top-level primitive"):
+        compile_flatten_plan(
+            None,
+            PERSON_ADDRESS,
+            FlattenConfig(topic="atopic", pk_mode="record_value", pk_fields=("address",)),
+            value_record_name="Person",
+        )
+
+
+def test_delete_requires_keyed_pk_mode():
+    import pytest as _pt
+
+    for mode in ("none", "kafka", "record_value"):
+        with _pt.raises(ValueError, match="delete.enabled requires"):
+            compile_flatten_plan(
+                KEY2,
+                PERSON_ADDRESS,
+                FlattenConfig(topic="atopic", pk_mode=mode, delete_enabled=True),
+                value_record_name="Person",
+            )
