@@ -853,6 +853,84 @@ FROM ch GROUP BY 1, 2, 3
 
 
 # =====================================================================
+# Standard analytics (SURVEY §2.4: agg / join / top-k over fact tables)
+# =====================================================================
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filtered scan → hash aggregate
+    with map-side partial agg; sums rounded 2dp so the float totals
+    hash-match the oracle despite summation-order differences."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + top-10: the filtered customer dim
+    broadcasts (no shuffle of the fact side for that join); revenue
+    ties break on l_orderkey so the LIMIT is deterministic."""
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# =====================================================================
 # Training-data layer: text analysis
 # =====================================================================
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_salted": q_lww_salted,
         "changelog_op_counts": q_changelog_op_counts,
         "topk_events": q_topk_events,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
         "parent_child_join": q_parent_child_join,
         "schema_evolution": q_schema_evolution,
         "schema_evolution_streaming": q_schema_evolution_streaming,
@@ -1267,6 +1347,8 @@ def oracle_sql() -> dict[str, str]:
         "lww_salted": LWW_SQL,
         "changelog_op_counts": OP_COUNTS_SQL,
         "topk_events": TOPK_SQL,
+        "pricing_summary": PRICING_SUMMARY_SQL,
+        "shipping_priority": SHIPPING_PRIORITY_SQL,
         "parent_child_join": PARENT_CHILD_SQL,
         "schema_evolution": SCHEMA_EVOLUTION_SQL,
         "schema_evolution_streaming": SCHEMA_EVOLUTION_STREAMING_SQL,
