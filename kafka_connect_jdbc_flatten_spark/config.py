@@ -56,6 +56,11 @@ class FlattenConfig:
     # plan-cache capacity (flatten.instruction_cache_size,
     # JdbcSinkConfig.java:326-332)
     instruction_cache_size: int = 100
+    # auto.create / auto.evolve (JdbcSinkConfig.java:124-131): when
+    # disabled, a missing table / missing columns raise instead of
+    # DDL-ing (DbStructure.java:105-110, 190-197)
+    auto_create: bool = True
+    auto_evolve: bool = True
 
     def case(self, name: str) -> str:
         """Case-force a name (``FlattenTransformation.java:723-725``)."""

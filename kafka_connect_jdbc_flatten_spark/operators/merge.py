@@ -93,6 +93,11 @@ class CdcApplier:
             )
             keys = list(spec.merge_keys) or [c.out_name for c in spec.columns]
             path = os.path.join(warehouse, spec.table_name)
+            if not plan.config.auto_create and not LakeTable.exists(spark, path):
+                raise ValueError(
+                    f"Table {spec.table_name} is missing and auto-creation "
+                    "is disabled (auto.create=false, DbStructure.java:105-110)"
+                )
             self.tables[spec.table_name] = LakeTable.create_if_not_exists(
                 spark, path, schema, keys, n_buckets
             )

@@ -240,6 +240,17 @@ class SchemaDriftIngest(StreamingIngest):
                     list(spec.spark_schema.fields)
                     + [T.StructField(SEQ_COL, T.LongType(), True)]
                 )
+                if not self.cfg.auto_evolve:
+                    have = {f.name.lower() for f in table.schema.fields}
+                    missing = [
+                        f.name for f in evolved.fields if f.name.lower() not in have
+                    ]
+                    if missing:
+                        raise ValueError(
+                            f"Table {spec.table_name} is missing fields "
+                            f"{missing} and auto-evolution is disabled "
+                            "(auto.evolve=false, DbStructure.java:190-197)"
+                        )
                 added = table.evolve_schema(evolved)
                 if added:
                     self.evolutions.append(
