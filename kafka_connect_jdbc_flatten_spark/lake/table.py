@@ -52,6 +52,10 @@ BUCKET_COL = "__bucket"
 SEQ_COL = "__seq"
 MOR_DELETE_COL = "__mor_del"
 SEG_COL = "__seg"
+# replace-mode reconcile broadcasts the delta winner map only while the
+# delta segments' on-disk bytes stay under this cap (a free upper bound
+# on winner-map rows); larger deltas take a shuffle join
+MOR_BROADCAST_DELTA_BYTES = 256 * 1024 * 1024
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -262,8 +266,23 @@ class LakeTable:
                 .groupBy(*scope)
                 .agg(F.max(SEG_COL).alias("__ws"))
             )
+            # broadcast ONLY while the delta is provably small: on-disk
+            # segment bytes (driver-side metadata, no Spark job) bound
+            # the winner-map row count.  A single unbounded backfill
+            # batch touches every scope key — forcing the broadcast
+            # there would OOM the driver exactly like the r01 LWW bug;
+            # past the cap the same join runs as a shuffle join.
+            delta_bytes = sum(
+                os.path.getsize(f)
+                for seg in segments
+                for fl in seg["files"].values()
+                for f in fl
+                if os.path.exists(f)
+            )
+            if delta_bytes <= MOR_BROADCAST_DELTA_BYTES:
+                delta_keys = F.broadcast(delta_keys)
             out = (
-                allrows.join(F.broadcast(delta_keys), on=scope, how="left")
+                allrows.join(delta_keys, on=scope, how="left")
                 .filter(F.col(SEG_COL) == F.coalesce(F.col("__ws"), F.lit(0)))
                 .filter(not_deleted)
                 .drop("__ws", SEG_COL, MOR_DELETE_COL)

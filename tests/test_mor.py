@@ -286,3 +286,27 @@ def test_db_timezone_timestamp_semantics(spark, tmp_path):
         assert parsed == stored
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_replace_reconcile_delta_broadcast_is_byte_guarded(spark, tmp_path, monkeypatch):
+    """replace-mode reconcile: the delta winner map broadcasts only
+    while segment bytes stay under the cap; a huge delta (cap forced
+    to 0) takes a shuffle join with IDENTICAL results — an unbounded
+    backfill must not force a driver-sized broadcast."""
+    import kafka_connect_jdbc_flatten_spark.lake.table as LT
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=2)
+    t.merge(mk(spark, [(1, "a", 1), (2, "b", 1)]), mode="replace",
+            scope_keys=["k"], batch_id=0)
+    t.merge(mk(spark, [(2, "b2", 2), (3, "c", 2)]), mode="replace",
+            scope_keys=["k"], batch_id=1)
+    expect = state(t)
+    plan_bcast = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bcast
+
+    monkeypatch.setattr(LT, "MOR_BROADCAST_DELTA_BYTES", 0)
+    assert state(t) == expect
+    plan_shuffle = t.read()._jdf.queryExecution().executedPlan().toString()
+    # the forced broadcast hint is gone (AQE may still pick a strategy,
+    # but the delta-keys join must not be hint-forced)
+    assert plan_shuffle != plan_bcast
