@@ -1183,6 +1183,21 @@ ANN_BRUTE_SQL = SIM.brute_force_topk_sql(
 )
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (4× storage shrink) —
+    exact for the quantized representation, so it carries a full
+    DuckDB oracle; recall vs the f32 top-k is asserted in tests."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.quantized_topk(emb, _queries_df(spark, sf_dir), k=10)
+
+
+ANN_QUANTIZED_SQL = SIM.quantized_topk_sql(
+    "embeddings",
+    "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5",
+    k=10,
+)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (sign-LSH bucketed) top-k — the 100 TB scale path.
     No SQL oracle (approximate by construction); recall vs brute force
@@ -1318,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1377,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id", max_hamming=3
         ),
         "ann_brute_topk": ANN_BRUTE_SQL,
+        "ann_quantized_topk": ANN_QUANTIZED_SQL,
         "ann_ivf_topk": ANN_BRUTE_SQL,  # full probe ≡ exact brute force
         "embedding_neardup": EMB_NEARDUP_SQL,
         "multimodal_meta": MULTIMODAL_META_SQL,

@@ -220,6 +220,72 @@ def embedding_neardup_pairs_lsh(
     return out
 
 
+# ------------------------------------------------------- int8 quantization
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].  4× smaller than f32 —
+    the storage/IO form a 100 TB embedding store actually keeps.
+
+    ``floor(x + 0.5)`` instead of round(): engines disagree on
+    round-half semantics but floor is bit-identical everywhere, so the
+    DuckDB oracle reproduces the quantized values exactly.  The scale
+    cancels in cosine, so quantized similarity needs no dequant.
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+    return F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("long"))
+
+
+def quantize_int8_sql(vec_expr: str) -> str:
+    v = f"list_transform({vec_expr}, x -> x::DOUBLE)"
+    amax = f"list_aggregate(list_transform({v}, x -> abs(x)), 'max')"
+    scale = f"(CASE WHEN {amax} > 0 THEN {amax} / 127.0 ELSE 1.0 END)"
+    return f"list_transform({v}, x -> floor(x / {scale} + 0.5)::BIGINT)"
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (both sides).  Exact
+    given the quantized representation (integer dot products are
+    float64-exact), hence fully oracle-able; quantization error vs the
+    f32 top-k is asserted as a recall bound in tests."""
+    emb_q = embeddings.select(
+        F.col(id_col), quantize_int8(F.col(vec_col)).alias(vec_col)
+    )
+    q_q = queries.select(
+        F.col(query_id_col), quantize_int8(F.col(query_vec_col)).alias(query_vec_col)
+    )
+    return brute_force_topk(
+        emb_q, q_q, k, id_col, vec_col, query_id_col, query_vec_col, round_dp
+    )
+
+
+def quantized_topk_sql(
+    table: str,
+    queries_sql: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> str:
+    qv = quantize_int8_sql(vec_col)
+    qq = quantize_int8_sql("query_vec")
+    inner_table = f"(SELECT {id_col}, {qv} AS {vec_col} FROM {table})"
+    inner_queries = f"SELECT query_id, {qq} AS query_vec FROM ({queries_sql})"
+    return brute_force_topk_sql(
+        inner_table, inner_queries, k, id_col, vec_col, round_dp
+    )
+
+
 # ----------------------------------------------------------------- IVF (ANN)
 def _sqdist(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance to a LITERAL centroid — a zip_with/aggregate

@@ -266,3 +266,35 @@ def test_ivf_topk_partial_probe_recall(spark):
         emb, q, k=10, n_centroids=8, nprobe=4, iters=2, dim=64
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantized_topk_oracle_and_recall(spark):
+    """int8-quantized top-k must (a) reproduce bit-for-bit in DuckDB
+    (exact given the quantized representation) and (b) keep high
+    recall vs the f32 exact top-k."""
+    import duckdb
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {tuple(r) for r in SIM.quantized_topk(emb, q, k=10).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    sql = SIM.quantized_topk_sql(
+        "embeddings",
+        "SELECT vec_id AS query_id, embedding AS query_vec "
+        "FROM embeddings WHERE vec_id < 5",
+        k=10,
+    )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want and len(got) == 50
+
+    exact = {(r.query_id, r.vec_id)
+             for r in SIM.brute_force_topk(emb, q, k=10).collect()}
+    approx = {(t[0], t[1]) for t in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
