@@ -90,6 +90,60 @@ def cmd_gen_feed(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_prep(args: argparse.Namespace) -> int:
+    """Training-corpus prep as a submit-able job: quality filter ∧
+    exact-dedup winner ∧ near-dup cluster keep, optional sequence-
+    packing manifest.  Writes the kept-docs manifest as parquet."""
+    from pyspark.sql import functions as F
+
+    from .functions import cluster as CL
+    from .functions import dedup as D
+    from .functions import pack as PK
+    from .functions import text as TX
+
+    spark = _spark("kcjfs-corpus-prep")
+    docs = spark.read.parquet(args.docs)
+    feats = TX.text_quality(F.col(args.text_col))
+    scored = docs.select(
+        args.id_col,
+        TX.lang_id(args.text_col).alias("lang"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    winners = D.exact_dedup(docs, args.text_col, args.id_col).select(
+        F.col("winner_id").alias(args.id_col)
+    )
+    drops = (
+        CL.dedup_clusters(docs, args.text_col, args.id_col)
+        .filter(F.col("keep") == 0)
+        .select(F.col("doc_id").alias(args.id_col))
+    )
+    kept = (
+        scored.filter(F.col("quality_score") >= args.min_quality)
+        .join(winners, args.id_col, "left_semi")
+        .join(drops, args.id_col, "left_anti")
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    summary = {"input_docs": docs.count(), "kept_docs": kept.count()}
+    if args.pack_max_tokens:
+        manifest = PK.pack_manifest(
+            spark.read.parquet(args.out).join(
+                docs.select(args.id_col, args.text_col), args.id_col
+            ).withColumnRenamed(args.id_col, "doc_id"),
+            "doc_id",
+            max_tokens=args.pack_max_tokens,
+            n_shards=args.pack_shards,
+            text_col=args.text_col,
+        )
+        manifest.write.mode("overwrite").parquet(args.out + "_pack")
+        summary["windows"] = (
+            manifest.agg(
+                F.sum(F.col("last_window") - F.col("first_window") + 1)
+            ).collect()[0][0]
+        )
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kcjfs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -109,6 +163,19 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--out", required=True)
     pg.add_argument("--chunks", type=int, default=4)
     pg.set_defaults(fn=cmd_gen_feed)
+
+    pc = sub.add_parser(
+        "corpus-prep",
+        help="quality + dedup + cluster filter → kept-docs manifest",
+    )
+    pc.add_argument("--docs", required=True, help="documents parquet path")
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--min-quality", type=float, default=0.5)
+    pc.add_argument("--pack-max-tokens", type=int, default=None)
+    pc.add_argument("--pack-shards", type=int, default=8)
+    pc.set_defaults(fn=cmd_corpus_prep)
 
     args = p.parse_args(argv)
     return args.fn(args)

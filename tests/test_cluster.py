@@ -217,3 +217,26 @@ def test_cc_random_graphs_match_union_find(spark):
             ).collect()
         }
         assert got == want, (seed, got, want)
+
+
+def test_cli_corpus_prep_end_to_end(spark, tmp_path):
+    """corpus-prep subcommand: kept manifest + packing manifest written,
+    kept set equals the entry-point composite query."""
+    import json as _json
+
+    from kafka_connect_jdbc_flatten_spark import cli
+
+    out = str(tmp_path / "kept")
+    rc = cli.main([
+        "corpus-prep",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--pack-max-tokens", "256",
+        "--pack-shards", "2",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    assert 0 < kept.count() <= 500
+    pack = spark.read.parquet(out + "_pack")
+    assert pack.count() == kept.count()
+    assert set(pack.columns) >= {"doc_id", "shard", "offset", "first_window"}
