@@ -1073,8 +1073,11 @@ STRATIFIED_SAMPLE_SQL = SMP.stratified_sample_sql(
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk packing manifest: docs hash-bucketed
     into 8 independent shards, per-shard running token offsets map each
-    doc to its fixed-size training windows.  Pure window arithmetic —
-    exact DuckDB mirror."""
+    doc to its fixed-size training windows.  Distributed prefix sum —
+    (shard, sub) cell cumsums + broadcast subshard base offsets, no
+    single-task-per-shard window — with an exact integer-arithmetic
+    DuckDB mirror (r02 driver divergence fixed: BIGINT casts, ``//``
+    floor-div, ``tok_offset`` not the reserved word ``offset``)."""
     docs = _read(spark, sf_dir, "documents")
     return PK.pack_manifest(docs, "doc_id", max_tokens=512, n_shards=8)
 

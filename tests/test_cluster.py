@@ -128,22 +128,50 @@ def test_pack_manifest_matches_duckdb(spark):
 
 
 def test_pack_manifest_offsets_are_contiguous_per_shard(spark):
-    """Within a shard, doc offsets tile the token stream exactly: each
-    doc starts where the previous one ended."""
+    """Within a shard, doc token intervals tile the stream exactly:
+    sorted by tok_offset, each doc starts where the previous ended
+    (order-agnostic form of the tiling invariant — the stream order
+    itself is (sub, doc_id), not doc_id)."""
     from kafka_connect_jdbc_flatten_spark.functions import pack as PK
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     rows = (
         PK.pack_manifest(docs, "doc_id", max_tokens=128, n_shards=2)
-        .orderBy("shard", "doc_id")
+        .orderBy("shard", "tok_offset")
         .collect()
     )
     pos = {}
     for r in rows:
-        assert r.offset == pos.get(r.shard, 0), r
-        pos[r.shard] = r.offset + r.n_tokens
-        assert r.first_window == r.offset // 128
-        assert r.last_window == (r.offset + r.n_tokens - 1) // 128
+        assert r.tok_offset == pos.get(r.shard, 0), r
+        pos[r.shard] = r.tok_offset + r.n_tokens
+        assert r.first_window == r.tok_offset // 128
+        assert r.last_window == (r.tok_offset + r.n_tokens - 1) // 128
+
+
+def test_pack_manifest_window_is_distributed_and_partition_invariant(spark):
+    """r02 verdict #3: no single-task-per-shard window cumsum.  The
+    executed plan's big window must be partitioned by (shard, sub) —
+    n_shards·n_subs cells — and the manifest must be identical at any
+    input partitioning."""
+    from kafka_connect_jdbc_flatten_spark.functions import pack as PK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = PK.pack_manifest(docs, "doc_id", max_tokens=128, n_shards=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [
+        ln for ln in plan.splitlines() if "Window" in ln and "windowspec" in ln.lower()
+    ] or [ln for ln in plan.splitlines() if ln.strip().startswith(("Window", "+- Window", ":- Window")) or "Window [" in ln]
+    big = [ln for ln in win_lines if "n_tokens" in ln and "doc_id" in ln]
+    assert big, plan
+    assert all("sub" in ln for ln in big), big
+    a = {tuple(r) for r in out.collect()}
+    b = {
+        tuple(r)
+        for r in PK.pack_manifest(
+            docs.repartition(16, "text"), "doc_id", max_tokens=128, n_shards=2
+        ).collect()
+    }
+    assert a == b and len(a) > 0
 
 
 def test_repetition_features_match_duckdb(spark):
@@ -239,4 +267,4 @@ def test_cli_corpus_prep_end_to_end(spark, tmp_path):
     assert 0 < kept.count() <= 500
     pack = spark.read.parquet(out + "_pack")
     assert pack.count() == kept.count()
-    assert set(pack.columns) >= {"doc_id", "shard", "offset", "first_window"}
+    assert set(pack.columns) >= {"doc_id", "shard", "tok_offset", "first_window"}
