@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 from kafka_connect_jdbc_flatten_spark.config import FlattenConfig
 from kafka_connect_jdbc_flatten_spark.functions import cluster as CL
+from kafka_connect_jdbc_flatten_spark.functions import corpus as CORPUS
 from kafka_connect_jdbc_flatten_spark.functions import dedup as D
 from kafka_connect_jdbc_flatten_spark.functions import pack as PK
 from kafka_connect_jdbc_flatten_spark.functions import sample as SMP
@@ -736,9 +737,13 @@ def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         change_rate_windows,
     )
 
+    # the envelope's Kafka `partition` column is renamed in the GATE
+    # output: `partition` is a reserved word in several engines and the
+    # oracle-lint bans reserved-word output columns (r02 divergence
+    # class)
     return change_rate_windows(
         transcript_changelog(spark, sf_dir), window="1 hour", watermark="1 hour"
-    )
+    ).withColumnRenamed("partition", "part_id")
 
 
 _FLAT_VALUE = T.StructType(
@@ -833,7 +838,7 @@ SELECT event_id, value * 2 AS v FROM events WHERE event_id % 2 = 0
 
 WINDOWED_RATES_SQL = """
 WITH ch AS (
-  SELECT (user_id % 4)::INT AS partition, ts, 0 AS is_del, event_id AS seq
+  SELECT (user_id % 4)::INT AS part_id, ts, 0 AS is_del, event_id AS seq
   FROM events
   UNION ALL
   SELECT (user_id % 4)::INT,
@@ -844,7 +849,7 @@ WITH ch AS (
 )
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
-       partition,
+       part_id,
        count(*)::BIGINT AS n_events,
        sum(is_del)::BIGINT AS n_deletes,
        max(seq)::BIGINT AS max_seq
@@ -1089,66 +1094,19 @@ SEQUENCE_PACKING_SQL = PK.pack_manifest_sql(
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep composite: quality-score filter
-    + exact-dedup winners + near-dup cluster drop list, in one plan.
-    The shapes compose: scoring is scan-local column math, the winner
-    check is a semi-join on doc_id, the drop list an anti-join."""
+    + exact-dedup winners + near-dup cluster representative, in one
+    shared plan (``functions/corpus.py`` — the same definition the CLI
+    job runs).  The cluster representative is the min-id member that
+    PASSES the quality filter (r2 advisory: the unconditional min-id
+    canonical silently lost whole clusters whose canonical member was
+    low-quality)."""
     docs = _read(spark, sf_dir, "documents")
-    feats = TX.text_quality(F.col("text"))
-    scored = docs.select(
-        "doc_id",
-        TX.lang_id("text").alias("lang"),
-        feats["quality_score"].alias("quality_score"),
-    )
-    winners = D.exact_dedup(docs, "text", "doc_id").select(
-        F.col("winner_id").alias("doc_id")
-    )
-    drops = (
-        CL.dedup_clusters(docs, "text", "doc_id")
-        .filter(F.col("keep") == 0)
-        .select("doc_id")
-    )
-    return (
-        scored.filter(F.col("quality_score") >= 0.5)
-        .join(winners, "doc_id", "left_semi")
-        .join(drops, "doc_id", "left_anti")
-    )
+    return CORPUS.corpus_keep(docs, "text", "doc_id", min_quality=0.5)
 
 
-def _corpus_prep_sql() -> str:
-    pairs = D.minhash_lsh_pairs_sql(
-        "documents", "text", "doc_id", n=3, n_hashes=32, bands=8, threshold=0.5
-    )
-    lang = TX.lang_id_sql("text")
-    score = TX.text_quality_sql("text")["quality_score"]
-    winners = D.exact_dedup_sql("documents", "text", "doc_id")
-    return f"""
-WITH RECURSIVE p AS ({pairs}),
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM p
-  UNION
-  SELECT id2, id1 FROM p
-),
-reach(id, r) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-),
-drops AS (
-  SELECT id AS doc_id FROM reach GROUP BY id HAVING id != min(r)
-),
-winners AS (SELECT winner_id AS doc_id FROM ({winners})),
-scored AS (
-  SELECT doc_id, {lang} AS lang, {score} AS quality_score FROM documents
+CORPUS_PREP_SQL = CORPUS.corpus_keep_sql(
+    "documents", "text", "doc_id", min_quality=0.5
 )
-SELECT s.doc_id, s.lang, s.quality_score
-FROM scored s
-JOIN winners w ON w.doc_id = s.doc_id
-LEFT JOIN drops d ON d.doc_id = s.doc_id
-WHERE d.doc_id IS NULL AND s.quality_score >= 0.5
-"""
-
-
-CORPUS_PREP_SQL = _corpus_prep_sql()
 
 
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,11 +1160,18 @@ ANN_QUANTIZED_SQL = SIM.quantized_topk_sql(
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (sign-LSH bucketed) top-k — the 100 TB scale path.
-    No SQL oracle (approximate by construction); recall vs brute force
-    is asserted in tests/test_similarity.py."""
+    """Sign-LSH bucketed top-k — the 100 TB scale path.  Gated here in
+    its exact degenerate configuration (n_planes=0 ⇒ every vector in
+    one bucket ⇒ candidates = all pairs ⇒ brute force), which runs the
+    FULL LSH plumbing — posexplode bucketing, (table, bucket)
+    equi-join, bare-pair candidate dedup, vector re-join, exact
+    rerank — under the brute-force DuckDB oracle; the same full-probe
+    trick that gates ``ann_ivf_topk``.  Approximate configurations
+    (n_planes>0) are recall-tested in tests/test_windows.py."""
     emb = _read(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(emb, _queries_df(spark, sf_dir), k=10, dim=64)
+    return SIM.lsh_topk(
+        emb, _queries_df(spark, sf_dir), k=10, dim=64, n_planes=0, n_tables=1
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,15 +1195,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: sign-LSH candidates + exact
-    cosine verify.  Approximate (no oracle); precision-1 and recall vs
-    the exact form asserted in tests/test_windows.py."""
+    cosine verify.  Gated in the exact degenerate configuration
+    (n_planes=0 ⇒ single bucket ⇒ candidates = all id1<id2 pairs),
+    which exercises the full candidate-generation / bare-pair-dedup /
+    vector-re-join / verify pipeline under the exact all-pairs DuckDB
+    oracle.  Approximate configurations (the production 6×8 defaults)
+    keep their precision-1 + recall tests in tests/test_windows.py."""
     emb = _read(spark, sf_dir, "embeddings")
-    # n_tables=4 keeps the compiled expression tree (tables × planes
-    # literal hyperplanes) small enough for fast Catalyst analysis at
-    # driver-check scale; production dedup at tau~0.9 uses the 6x8
-    # defaults
     return SIM.embedding_neardup_pairs_lsh(
-        emb, threshold=0.4, dim=64, n_planes=4, n_tables=4
+        emb, threshold=0.4, dim=64, n_planes=0, n_tables=1
     )
 
 
@@ -1347,8 +1312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles.  ``ann_lsh_topk`` is approximate by design and
-    carries no oracle (rows-only check; recall asserted in tests)."""
+    """DuckDB oracles — every query carries one.  The two sign-LSH
+    queries are gated in exact degenerate configurations (n_planes=0),
+    mirrored by the brute-force / all-pairs SQL; their approximate
+    configurations stay recall-tested in pytest."""
     return {
         "cdc_replay_final_state": FINAL_STATE_SQL,
         "cdc_streaming_resume": FINAL_STATE_SQL,
@@ -1397,8 +1364,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_brute_topk": ANN_BRUTE_SQL,
         "ann_quantized_topk": ANN_QUANTIZED_SQL,
+        "ann_lsh_topk": ANN_BRUTE_SQL,  # n_planes=0 ⇒ exact brute force
         "ann_ivf_topk": ANN_BRUTE_SQL,  # full probe ≡ exact brute force
         "embedding_neardup": EMB_NEARDUP_SQL,
+        "embedding_neardup_lsh": EMB_NEARDUP_SQL,  # n_planes=0 ⇒ all pairs
         "multimodal_meta": MULTIMODAL_META_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     }

@@ -102,6 +102,7 @@ def main():
             lo = hi
 
         final_rows = flat_rows = 0
+        runs: list[dict[str, float]] = []
         for rep in range(REPS):
             rq: dict[str, float] = {}
             wh = os.path.join(tmp, f"wh{rep}")
@@ -139,6 +140,7 @@ def main():
             timed("token_counts", E.q_token_counts)
             timed("ann_brute_topk", E.q_ann_brute_topk)
             timed("multimodal_meta", E.q_multimodal_meta)
+            runs.append(dict(rq))
             queries = (
                 rq if not queries
                 else {k: min(queries[k], rq[k]) for k in rq}
@@ -153,6 +155,9 @@ def main():
                     "value": total,
                     "unit": "sec",
                     "queries": queries,
+                    # per-rep raw times (r02 verdict #7): lets a reader
+                    # separate real plan wins from best-of-N selection
+                    "runs": runs,
                     "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                     "cpus": CPUS,
                     "reps": REPS,

@@ -92,36 +92,22 @@ def cmd_gen_feed(args: argparse.Namespace) -> int:
 
 def cmd_corpus_prep(args: argparse.Namespace) -> int:
     """Training-corpus prep as a submit-able job: quality filter ∧
-    exact-dedup winner ∧ near-dup cluster keep, optional sequence-
-    packing manifest.  Writes the kept-docs manifest as parquet."""
+    exact-dedup winner ∧ near-dup cluster representative (the min-id
+    member that passes quality — see ``functions/corpus.py``),
+    optional sequence-packing manifest.  Writes the kept-docs manifest
+    as parquet."""
     from pyspark.sql import functions as F
 
-    from .functions import cluster as CL
-    from .functions import dedup as D
+    from .functions import corpus as CORPUS
     from .functions import pack as PK
-    from .functions import text as TX
 
     spark = _spark("kcjfs-corpus-prep")
     docs = spark.read.parquet(args.docs)
-    feats = TX.text_quality(F.col(args.text_col))
-    scored = docs.select(
-        args.id_col,
-        TX.lang_id(args.text_col).alias("lang"),
-        feats["quality_score"].alias("quality_score"),
+    kept = CORPUS.corpus_keep(
+        docs, args.text_col, args.id_col, min_quality=args.min_quality
     )
-    winners = D.exact_dedup(docs, args.text_col, args.id_col).select(
-        F.col("winner_id").alias(args.id_col)
-    )
-    drops = (
-        CL.dedup_clusters(docs, args.text_col, args.id_col)
-        .filter(F.col("keep") == 0)
-        .select(F.col("doc_id").alias(args.id_col))
-    )
-    kept = (
-        scored.filter(F.col("quality_score") >= args.min_quality)
-        .join(winners, args.id_col, "left_semi")
-        .join(drops, args.id_col, "left_anti")
-    )
+    if args.id_col != "doc_id":
+        kept = kept.withColumnRenamed("doc_id", args.id_col)
     kept.write.mode("overwrite").parquet(args.out)
     summary = {"input_docs": docs.count(), "kept_docs": kept.count()}
     if args.pack_max_tokens:
@@ -135,10 +121,17 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
             text_col=args.text_col,
         )
         manifest.write.mode("overwrite").parquet(args.out + "_pack")
+        # DISTINCT training windows (r2 advisory: summing per-doc window
+        # spans double-counts windows straddled by multiple docs)
         summary["windows"] = (
-            manifest.agg(
-                F.sum(F.col("last_window") - F.col("first_window") + 1)
-            ).collect()[0][0]
+            manifest.select(
+                "shard",
+                F.explode(
+                    F.sequence("first_window", "last_window")
+                ).alias("w"),
+            )
+            .distinct()
+            .count()
         )
     print(json.dumps(summary))
     return 0

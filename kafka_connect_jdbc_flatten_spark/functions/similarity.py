@@ -319,32 +319,56 @@ def ivf_train_centroids(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_fraction: float = 1.0,
 ) -> list[list[float]]:
     """Deterministic k-means coarse quantizer (the IVF training step).
 
-    Init = the ``k`` lowest-``id_col`` vectors (seed-free, reproducible
-    across runs — the engine bans nondeterministic RNG state); then
-    ``iters`` Lloyd iterations as DataFrame jobs: assignment is a
-    JVM-side argmin over literal centroids, the mean recomputation is
-    one ``posexplode``/groupBy aggregate.  Only k·dim floats ever reach
-    the driver — at 100 TB the train set is a sampled fraction and the
-    per-iteration cost is one scan.
+    Init = the ``k`` lowest-``id_col`` vectors of the train set
+    (seed-free, reproducible across runs — the engine bans
+    nondeterministic RNG state); then ``iters`` Lloyd iterations as
+    DataFrame jobs: assignment is a JVM-side argmin over literal
+    centroids, the mean recomputation is one ``posexplode``/groupBy
+    aggregate.  Only k·dim floats ever reach the driver.
+
+    ``train_fraction`` (r02 verdict #4) samples the TRAINING scan —
+    k-means centroids need only a representative sample, not every
+    vector; at 100 TB a full-table scan per Lloyd iteration is the
+    dominant cost.  The sample is the deterministic md5-bucket
+    predicate (partition-invariant, pushdown-able, the ``sample.py``
+    property); assignment of the full table stays exact regardless,
+    so full-probe search remains exactly brute force under ANY
+    train_fraction.  Caller keeps ``train_fraction · n ≫ k``.
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    train = embeddings
+    if train_fraction < 1.0:
+        from .sample import SAMPLE_MOD, sample_bucket
+
+        train = embeddings.filter(
+            sample_bucket(id_col, "ivf-train")
+            < int(train_fraction * SAMPLE_MOD)
+        )
     init = (
-        embeddings.orderBy(id_col)
+        train.orderBy(id_col)
         .limit(k)
         .select(vec_col)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"train sample has {len(init)} vectors < k={k}; "
+            "raise train_fraction"
+        )
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(iters):
         # two-step select: combining the struct-array argmin with a
         # posexplode in ONE select makes the Generate rewrite re-resolve
         # the unresolved lambda struct and its field names degrade to
         # col1/col2 (FIELD_NOT_FOUND on `i`) — resolve cid first.
-        assigned = embeddings.select(
+        assigned = train.select(
             _nearest_cids(F.col(vec_col), centroids, 1)[0].alias("cid"),
             F.col(vec_col).alias("_v"),
         ).select("cid", F.posexplode("_v").alias("pos", "x"))
@@ -376,6 +400,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     round_dp: int = 4,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the table into
     ``n_centroids`` inverted lists, probe the ``nprobe`` lists nearest
@@ -392,7 +417,8 @@ def ivf_topk(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     centroids = ivf_train_centroids(
-        embeddings, n_centroids, dim, iters, vec_col, id_col
+        embeddings, n_centroids, dim, iters, vec_col, id_col,
+        train_fraction=train_fraction,
     )
     indexed = spread(embeddings).select(
         F.col(id_col),

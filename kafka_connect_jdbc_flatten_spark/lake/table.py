@@ -244,15 +244,40 @@ class LakeTable:
             # ``JdbcSinkConfig.java:133-139``).  Sound because keys only
             # come into existence via the base: any other-mode commit
             # compacts first, folding segments into the base.
+            #
+            # The winner reduction is restricted to keys that appear in
+            # a DELTA segment (r2 advisory): base rows for keys the
+            # update batches never touched pass through UNCHANGED —
+            # including legitimate duplicates created earlier under
+            # insert.mode=insert and since compacted into the base.
+            # SQL UPDATE modifies matching rows; it never deduplicates
+            # rows it didn't match.
             from ..operators.lww import lww_reduce_agg
 
             keys = m["key_cols"]
-            base_keys = (
-                allrows.filter(F.col(SEG_COL) == 0).select(*keys).distinct()
+            base_rows = allrows.filter(F.col(SEG_COL) == 0)
+            delta_keys = (
+                allrows.filter(F.col(SEG_COL) > 0).select(*keys).distinct()
             )
-            winner = lww_reduce_agg(allrows, keys, [SEG_COL, SEQ_COL])
+            # same byte-bound broadcast guard as the replace reconcile:
+            # delta segment bytes bound the key-map size
+            delta_bytes = sum(
+                os.path.getsize(f)
+                for seg in segments
+                for fl in seg["files"].values()
+                for f in fl
+                if os.path.exists(f)
+            )
+            if delta_bytes <= MOR_BROADCAST_DELTA_BYTES:
+                delta_keys = F.broadcast(delta_keys)
+            untouched = base_rows.join(delta_keys, on=keys, how="left_anti")
+            touched = allrows.join(delta_keys, on=keys, how="left_semi")
+            winner = lww_reduce_agg(touched, keys, [SEG_COL, SEQ_COL])
+            updated = winner.join(
+                base_rows.select(*keys).distinct(), on=keys, how="left_semi"
+            )
             return (
-                winner.join(base_keys, on=keys, how="left_semi")
+                untouched.unionByName(updated)
                 .filter(not_deleted)
                 .drop(SEG_COL, MOR_DELETE_COL)
             )

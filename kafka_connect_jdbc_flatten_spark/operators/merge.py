@@ -181,6 +181,9 @@ class CdcApplier:
             stats = self._apply_update(
                 upserts, deletes, batch_id, strategy, writer_suffix
             )
+            stats.update(
+                self._delete_from_foreign_tables(deletes, batch_id, writer_suffix)
+            )
             deletes.unpersist()
             reduced.unpersist()
             return stats
@@ -190,6 +193,11 @@ class CdcApplier:
             try:
                 stats = self._apply_mor_union(
                     upserts, deletes, batch_id, writer_suffix
+                )
+                stats.update(
+                    self._delete_from_foreign_tables(
+                        deletes, batch_id, writer_suffix
+                    )
                 )
                 deletes.unpersist()
                 reduced.unpersist()
@@ -223,8 +231,57 @@ class CdcApplier:
         with ThreadPoolExecutor(max_workers=len(plan.tables)) as pool:
             for name, st in pool.map(_merge_one, plan.tables):
                 stats[name] = st
+        stats.update(
+            self._delete_from_foreign_tables(deletes, batch_id, writer_suffix)
+        )
         deletes.unpersist()
         reduced.unpersist()
+        return stats
+
+    def _delete_from_foreign_tables(
+        self, deletes: DataFrame, batch_id: int | None, writer_suffix: str
+    ) -> dict:
+        """Tombstones wipe matching rows from EVERY table of the topic
+        (``JdbcDbWriter.java:130-198``) — including tables only ANOTHER
+        schema fingerprint's plan knows.  Under drift a tombstone is
+        carried with whatever value schema its producer last used; a
+        key inserted under a LATER schema has child rows in tables this
+        plan has never seen.  Foreign tables are discovered from the
+        warehouse catalog by topic prefix; the delete key is the
+        key-derived PK, which propagates to every table of the topic
+        with the same names (key-PK propagation) and is also every
+        table's bucketing scope under CDC apply, so the bucket-pruned
+        ``delete_where_keys`` rewrite is layout-consistent."""
+        if not self.plan.config.delete_enabled:
+            return {}
+        from ..sources.monitor import TableMonitor
+
+        cfg = self.plan.config
+        topic_part = cfg.case(
+            cfg.topic.replace(".", cfg.delimiter).lower()
+        ).lower()
+        delim = cfg.delimiter.lower()
+        foreign = [
+            n
+            for n in TableMonitor(self.warehouse).list_tables()
+            if n not in self.tables
+            and (
+                n.lower() == topic_part
+                or n.lower().startswith(topic_part + delim)
+            )
+        ]
+        if not foreign:
+            return {}
+        keys_df = deletes.select(*self._key_exprs(None)).distinct()
+        if keys_df.limit(1).count() == 0:
+            return {}
+        scope = [c.out_name for c in self.plan.key_pk_columns]
+        stats = {}
+        for name in foreign:
+            table = LakeTable(self.spark, os.path.join(self.warehouse, name))
+            stats[name] = table.delete_where_keys(
+                keys_df, scope, batch_id=batch_id, writer_id=name + writer_suffix
+            )
         return stats
 
     def _apply_insert(
@@ -444,16 +501,36 @@ class CdcApplier:
         vacuum per-table data dirs AND the shared ``_commits/`` dir the
         union write path lands segments in (per-table vacuum never
         walks it — without this the compacted segments' files leak
-        forever)."""
+        forever).
+
+        The ``_commits/`` GC live-set is built from EVERY committed
+        table under the warehouse — discovered from disk via the
+        catalog listing, NOT from this applier's plan tables.  Under
+        schema drift, appliers for different schema fingerprints share
+        the warehouse with different table sets (an added array creates
+        a new child table); scoping the live-set to one applier's
+        tables would treat the other tables' still-referenced segment
+        files as orphans and delete them (permanent data loss, r2
+        advisory).  Same hole after restart: tables whose schema hasn't
+        been re-seen have no resident applier but must stay protected.
+        """
         from ..lake.table import gc_unreferenced
+        from ..sources.monitor import TableMonitor
 
         stats = {"compacted": 0, "vacuumed_files": 0}
         for table in self.tables.values():
             if not table.compact().get("skipped"):
                 stats["compacted"] += 1
             stats["vacuumed_files"] += table.vacuum()
+        all_tables = {
+            name: LakeTable(self.spark, os.path.join(self.warehouse, name))
+            for name in TableMonitor(self.warehouse).list_tables()
+        }
+        for name, table in self.tables.items():
+            all_tables.setdefault(name, table)
         stats["vacuumed_files"] += gc_unreferenced(
-            [os.path.join(self.warehouse, "_commits")], list(self.tables.values())
+            [os.path.join(self.warehouse, "_commits")],
+            list(all_tables.values()),
         )
         return stats
 

@@ -2,7 +2,14 @@
 query against its DuckDB oracle at a given scale factor and compare
 row count, column names, and an order-insensitive value hash.
 
-Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+Usage: python scripts/selfcheck.py [--strict] [sf_dir] [query ...]
+
+``--strict`` first lints every oracle SQL string for engine-stable
+constructs (kafka_connect_jdbc_flatten_spark.oracle_lint — no bare
+``/`` under FLOOR, no reserved-word output columns, explicit casts on
+FLOOR and window SUMs) and fails fast on violations; the r02 driver
+divergence came from exactly such a construct running under a DuckDB
+build the repo doesn't control.
 """
 
 from __future__ import annotations
@@ -59,8 +66,23 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    strict = "--strict" in args
+    if strict:
+        args = [a for a in args if a != "--strict"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    if strict:
+        from kafka_connect_jdbc_flatten_spark.oracle_lint import lint_all
+
+        dirty = lint_all(entrymod.oracle_sql())
+        for name, problems in sorted(dirty.items()):
+            print(f"LINT  {name:28s} {'; '.join(problems)}")
+        if dirty:
+            print(f"\nFAILED lint: {len(dirty)} oracle(s) not engine-stable")
+            sys.exit(1)
+        print(f"lint  {len(entrymod.oracle_sql())} oracles engine-stable\n")
 
     from pyspark.sql import SparkSession
 

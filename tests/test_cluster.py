@@ -268,3 +268,50 @@ def test_cli_corpus_prep_end_to_end(spark, tmp_path):
     pack = spark.read.parquet(out + "_pack")
     assert pack.count() == kept.count()
     assert set(pack.columns) >= {"doc_id", "shard", "tok_offset", "first_window"}
+
+
+def test_cluster_rep_is_min_quality_passing_member(spark):
+    """r2 advisory (low): the cluster representative must be chosen
+    among QUALITY-PASSING members — an unconditional min-id canonical
+    loses the whole cluster when the canonical member is low-quality."""
+    from kafka_connect_jdbc_flatten_spark.functions import corpus as CORPUS
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    # cluster 1: min member (1) fails quality → rep = 2, drop only 3;
+    # cluster 10: NO member passes → no drops (quality filter already
+    # removes them all)
+    qpass = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    drops = sorted(
+        r.doc_id
+        for r in CORPUS.cluster_drop_ids(clusters, qpass).collect()
+    )
+    assert drops == [1, 3]
+
+
+def test_corpus_keep_matches_duckdb(spark):
+    """The shared corpus-prep composition and its SQL mirror agree
+    bit-for-bit (same composition the CLI job and gate query run)."""
+    import duckdb as _dd
+
+    from kafka_connect_jdbc_flatten_spark.functions import corpus as CORPUS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.doc_id, r.lang, round(r.quality_score, 6))
+        for r in CORPUS.corpus_keep(docs, "text", "doc_id", 0.5).collect()
+    }
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(
+            CORPUS.corpus_keep_sql("documents", "text", "doc_id", 0.5)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

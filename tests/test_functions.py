@@ -248,6 +248,32 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
     assert ivf == exact
 
 
+def test_ivf_full_probe_exact_under_train_sampling(spark):
+    """r02 verdict #4: train_fraction samples the k-means TRAINING scan
+    only — centroids move, but full-probe search stays exactly brute
+    force (assignment + probe + rerank are fraction-independent)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id, r.score, r.rank)
+             for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id, r.score, r.rank)
+           for r in SIM.ivf_topk(
+               emb, q, k=5, n_centroids=4, nprobe=4, iters=2, dim=64,
+               train_fraction=0.5,
+           ).collect()}
+    assert ivf == exact
+    # the sampled train set really is a strict, deterministic subset
+    cents_a = SIM.ivf_train_centroids(emb, 4, 64, 1, train_fraction=0.5)
+    cents_b = SIM.ivf_train_centroids(emb, 4, 64, 1, train_fraction=0.5)
+    assert cents_a == cents_b
+    import pytest
+
+    with pytest.raises(ValueError, match="train_fraction"):
+        SIM.ivf_train_centroids(emb, 4, 64, 1, train_fraction=0.0)
+
+
 def test_ivf_topk_partial_probe_recall(spark):
     """Partial probe trades candidates for recall; with nprobe=half the
     lists, recall vs brute force must stay high on the testdata."""
@@ -298,3 +324,31 @@ def test_quantized_topk_oracle_and_recall(spark):
     approx = {(t[0], t[1]) for t in got}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_oracle_lint_all_green_and_catches_r02_shape():
+    """Every gate oracle must use only engine-stable SQL constructs;
+    the lint must also still CATCH the construct class that caused the
+    r02 sequence_packing driver divergence."""
+    import importlib.util
+
+    from kafka_connect_jdbc_flatten_spark.oracle_lint import (
+        lint_all,
+        lint_oracle_sql,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_lint", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert lint_all(m.oracle_sql()) == {}
+    bad = (
+        'SELECT COALESCE(SUM(n) OVER (PARTITION BY s ORDER BY i), 0) '
+        'AS "offset", FLOOR(x / 2) AS w FROM t'
+    )
+    problems = lint_oracle_sql(bad)
+    assert any("reserved" in p for p in problems)
+    assert any("SUM" in p for p in problems)
+    assert any("FLOOR" in p for p in problems)
+    assert any("/" in p for p in problems)

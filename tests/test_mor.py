@@ -310,3 +310,28 @@ def test_replace_reconcile_delta_broadcast_is_byte_guarded(spark, tmp_path, monk
     # the forced broadcast hint is gone (AQE may still pick a strategy,
     # but the delta-keys join must not be hint-forced)
     assert plan_shuffle != plan_bcast
+
+
+def test_mor_update_reconcile_preserves_untouched_duplicates(spark, tmp_path):
+    """r2 advisory (medium): an update delta must only collapse the
+    keys it touches.  Duplicate rows legitimately created under
+    insert.mode=insert (append segments compacted into the base) must
+    survive an update to a DIFFERENT key; SQL UPDATE never removes
+    rows it didn't match."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=2)
+    # base with legitimate duplicates for k=1 (insert-mode appends)
+    t.merge(mk(spark, [(1, "dup", 1), (1, "dup", 1), (2, "b", 1)]),
+            mode="append", batch_id=0)
+    t.compact()
+    assert state(t) == [(1, "dup"), (1, "dup"), (2, "b")]
+    # update delta touches ONLY k=2
+    t.merge(mk(spark, [(2, "b2", 2), (9, "ghost", 2)]), mode="update", batch_id=1)
+    # k=1 duplicates intact, k=2 updated, k=9 ignored (unknown key)
+    assert state(t) == [(1, "dup"), (1, "dup"), (2, "b2")]
+    # compact preserves the same state
+    t.compact()
+    assert state(t) == [(1, "dup"), (1, "dup"), (2, "b2")]
+    # an update that DOES touch the duplicated key collapses it to the
+    # single winning image (key-level update semantics, documented)
+    t.merge(mk(spark, [(1, "fixed", 3)]), mode="update", batch_id=2)
+    assert state(t) == [(1, "fixed"), (2, "b2")]

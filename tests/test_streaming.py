@@ -115,11 +115,13 @@ def test_rerun_after_completion_is_noop(spark, tmp_path):
     assert ing3.applier.tables[TURNS].manifest()["version"] == v1
 
 
-def _evt_envelopes(spark, with_text: bool):
+def _evt_envelopes(spark, with_text: bool, with_tags: bool = False):
     """Schema-carrying envelopes over the events table: old schema
     {event_id, role} (even ids), new schema adds optional `text`
     (odd ids) — the evolution fixture pair shape
-    (value_wo_array.avsc → value.avsc)."""
+    (value_wo_array.avsc → value.avsc).  ``with_tags`` additionally
+    adds an ARRAY field, so the drifted plan gains a whole child
+    table (the value_wo_array.avsc → value.avsc table-set change)."""
     from pyspark.sql import types as T
 
     from kafka_connect_jdbc_flatten_spark.sources.changelog import (
@@ -137,6 +139,11 @@ def _evt_envelopes(spark, with_text: bool):
     if with_text:
         fields.append(T.StructField("text", T.StringType(), True))
         val.append(F.col("props").alias("text"))
+    if with_tags:
+        fields.append(T.StructField("tags", T.ArrayType(T.LongType()), True))
+        val.append(
+            F.array(F.col("event_id"), F.col("event_id") + 1).alias("tags")
+        )
     vschema = T.StructType(fields)
     typed = ev.select(
         F.lit("evt").alias("topic"),
@@ -246,6 +253,55 @@ def test_schema_drift_both_schemas_in_one_microbatch(spark, tmp_path):
     assert out.filter((F.col("event_id") % 2 == 1) & F.col("text").isNull()).count() == 0
 
 
+def test_drift_gc_preserves_other_schemas_child_tables(spark, tmp_path):
+    """r2 advisory (high): warehouse GC live-set must span EVERY table
+    on disk, not one applier's plan tables.  Old schema arrives first;
+    the new schema adds an ARRAY → a brand-new child table whose
+    segments land in the shared _commits/ dir.  With compact_every=1
+    the OLD-schema applier's maintenance runs while the child table's
+    segments are still pending — a plan-scoped live-set would GC them
+    as orphans (permanent data loss / PATH_NOT_FOUND on read)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.streaming.pipeline import (
+        SchemaDriftIngest,
+    )
+
+    old_env, _ = _evt_envelopes(spark, with_text=False)
+    new_env, _ = _evt_envelopes(spark, with_text=True, with_tags=True)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    old_env.coalesce(1).write.parquet(str(feed / "chunk-00001"))
+    new_env.coalesce(1).write.parquet(str(feed / "chunk-00002"))
+
+    ing = SchemaDriftIngest(
+        spark, str(feed), str(tmp_path / "wh"), _drift_cfg(), T.LongType(),
+        str(tmp_path / "ckpt"), value_record_name="Evt",
+        key_record_name="EvtKey", n_buckets=4, max_files_per_trigger=1,
+        compact_every=1,
+    )
+    ing.run_available(timeout_sec=300)
+    child = [t for t in os.listdir(tmp_path / "wh") if t.endswith("_tags")]
+    assert child, os.listdir(tmp_path / "wh")
+    # every manifest-referenced file of the child table must still exist
+    from kafka_connect_jdbc_flatten_spark.lake.table import LakeTable
+
+    tbl = LakeTable(spark, str(tmp_path / "wh" / child[0]))
+    m = tbl.manifest()
+    referenced = [
+        f for fl in m["files"].values() for f in fl
+    ] + [f for s in m.get("segments", []) for fl in s["files"].values() for f in fl]
+    missing = [f for f in referenced if not os.path.exists(f)]
+    assert not missing, missing[:5]
+    # and the data itself is intact: 2 tags per odd event
+    n_new = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_id") % 2 == 1
+    ).count()
+    assert tbl.read().count() == 2 * n_new
+
+
 def test_auto_evolve_disabled_raises_on_drift(spark, tmp_path):
     """auto.evolve=false: a mid-stream schema change that needs an
     ALTER must fail loudly instead of evolving
@@ -313,3 +369,66 @@ def test_auto_create_disabled_raises_on_missing_table(spark, tmp_path):
         transcript_changelog(spark, "/root/testdata/sf0.001"), batch_id=0
     )
     assert ap.read("transcripts_conversation_turns").count() > 0
+
+
+def test_tombstone_under_old_schema_wipes_newer_schema_child_table(
+    spark, tmp_path
+):
+    """r02 stretch probe: a tombstone CARRIED with an older schema
+    fingerprint must still wipe the key from tables only a LATER
+    fingerprint's plan knows (the reference deletes from every table
+    of the topic, JdbcDbWriter.java:130-198).  chunk1 inserts under
+    the tags-bearing schema (parent + child table); chunk2 delivers
+    tombstones serialized with the pre-tags schema."""
+    import dataclasses
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.streaming.pipeline import (
+        SchemaDriftIngest,
+    )
+
+    new_env, _ = _evt_envelopes(spark, with_text=True, with_tags=True)
+    _, old_schema = _evt_envelopes(spark, with_text=False)
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_id") % 2 == 1
+    )
+    big = 10**9
+    tomb = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.lit("evt").alias("topic"),
+        F.pmod("event_id", F.lit(2)).cast("int").alias("partition"),
+        (F.col("event_id") + big).alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit("CreateTime").alias("timestamp_type"),
+        F.col("event_id").alias("key"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(old_schema.json()).alias("value_schema"),
+        F.lit("d").alias("op"),
+        (F.col("event_id") + big).cast("long").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    new_env.coalesce(1).write.parquet(str(feed / "chunk-00001"))
+    tomb.coalesce(1).write.parquet(str(feed / "chunk-00002"))
+
+    cfg = dataclasses.replace(_drift_cfg(), delete_enabled=True)
+    ing = SchemaDriftIngest(
+        spark, str(feed), str(tmp_path / "wh"), cfg, T.LongType(),
+        str(tmp_path / "ckpt"), value_record_name="Evt",
+        key_record_name="EvtKey", n_buckets=4, max_files_per_trigger=1,
+    )
+    ing.run_available(timeout_sec=300)
+    child = [t for t in os.listdir(tmp_path / "wh") if t.endswith("_tags")]
+    assert child, os.listdir(tmp_path / "wh")
+    from kafka_connect_jdbc_flatten_spark.lake.table import LakeTable
+
+    tags = LakeTable(spark, str(tmp_path / "wh" / child[0])).read()
+    kept = ev.filter(F.col("event_id") % 3 != 0).count()
+    gone = tags.filter(F.col("event_id") % 3 == 0).count()
+    assert gone == 0, f"{gone} child rows survived an old-schema tombstone"
+    assert tags.count() == 2 * kept
+    # parent wiped too
+    parent = ing.read("evt_evt")
+    assert parent.filter(F.col("event_id") % 3 == 0).count() == 0
