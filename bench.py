@@ -28,9 +28,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_MICROBATCHES = int(os.environ.get("BENCH_MICROBATCHES", "4"))
 # this shared host shows ~2× run-to-run wall-clock noise (see
-# BENCH.md); report per-query best-of-REPS so one noise cliff doesn't
-# misrepresent the engine
-REPS = int(os.environ.get("BENCH_REPS", "2"))
+# BENCH.md; an idle-vs-loaded pair measured 54 s vs 16 s for the SAME
+# commit).  Report per-query best-of-REPS so one noise cliff doesn't
+# misrepresent the engine; raw per-rep times ship in "runs".
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def get_spark():
