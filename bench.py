@@ -68,7 +68,14 @@ def main():
         # ---------- fixture prep (untimed): changelog → parquet ----------
         feed = os.path.join(tmp, "changelog")
         changelog = transcript_changelog(spark, SF_DIR)
-        changelog.write.mode("overwrite").parquet(feed)
+        # binlog segments are seq-ordered on disk (write_changelog_chunks
+        # and any real WAL tail produce them that way); range-partition
+        # the fixture the same way so each micro-batch's seq-range
+        # filter prunes files/row-groups instead of rescanning the
+        # whole feed 3× per batch (same rationale as scaling_bench)
+        changelog.repartitionByRange(CPUS, "seq").write.mode(
+            "overwrite"
+        ).parquet(feed)
         feed_df = spark.read.parquet(feed)
         n_events = feed_df.count()
         # equi-width seq split into micro-batches (seq is dense)
@@ -76,11 +83,15 @@ def main():
         step = (mx - mn + N_MICROBATCHES) // N_MICROBATCHES
         bounds = [mn + step * i for i in range(1, N_MICROBATCHES)]
 
-        # untimed warmup (JIT/codec init; see BENCH.md noise notes)
+        # untimed warmup (JIT/codec init; see BENCH.md noise notes) —
+        # run with AQE off so it compiles the same plan shapes the
+        # timed replay uses
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         warm_wh = os.path.join(tmp, "warm_wh")
         warm = CdcApplier(spark, warm_wh, E._transcript_plan(), n_buckets=32)
         warm.apply_batch(feed_df.filter(F.col("seq") <= mn + step // 8), batch_id=0)
         shutil.rmtree(warm_wh, ignore_errors=True)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
         # ---------- headline: sustained MERGE-apply replay ----------
         # per-batch row counts are computed UNTIMED: in the production
@@ -108,10 +119,18 @@ def main():
             rq: dict[str, float] = {}
             wh = os.path.join(tmp, f"wh{rep}")
             applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
+            # AQE off for the micro-batch replay only (same rationale
+            # as scaling_worker.py): the apply plans are small and
+            # fixed-shape, and AQE's per-query-stage re-planning turns
+            # each batch into ~11 scheduled jobs — measured 7.7→5.2 s
+            # on the 4-batch replay.  The analytics queries below keep
+            # AQE (coalescing/skew handling pay off there).
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
             t0 = time.time()
             for i, (batch, n) in enumerate(slices):
                 applier.apply_batch(batch, batch_id=i, n_rows_hint=n)
             cdc_sec = time.time() - t0
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
             rq["cdc_merge_apply_replay"] = round(cdc_sec, 3)
             final_rows = applier.read(E.TURNS_TABLE).count()
             shutil.rmtree(wh, ignore_errors=True)
