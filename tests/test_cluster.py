@@ -315,3 +315,45 @@ def test_corpus_keep_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_pack_manifest_properties_random_corpora(spark):
+    """Property check over random corpora (random token counts incl.
+    zeros, sparse/duplicate-free ids): the manifest (a) drops exactly
+    the zero-token docs, (b) tiles every shard stream exactly, (c)
+    computes window spans by integer division, and (d) matches the
+    DuckDB mirror bit-for-bit."""
+    import random
+
+    import duckdb as _dd
+
+    from kafka_connect_jdbc_flatten_spark.functions import pack as PK
+
+    rng = random.Random(7)
+    for trial in range(3):
+        ids = rng.sample(range(10_000), 120)
+        rows = [
+            (i, " ".join("w" for _ in range(rng.choice([0, 1, 2, 7, 63, 130]))))
+            for i in ids
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = PK.pack_manifest(
+            df, "doc_id", max_tokens=64, n_shards=3, n_subs=4
+        ).collect()
+        nonzero = {i for i, t in rows if t}
+        assert {r.doc_id for r in got} == nonzero
+        pos: dict = {}
+        for r in sorted(got, key=lambda r: (r.shard, r.tok_offset)):
+            assert r.tok_offset == pos.get(r.shard, 0), r
+            pos[r.shard] = r.tok_offset + r.n_tokens
+            assert r.first_window == r.tok_offset // 64
+            assert r.last_window == (r.tok_offset + r.n_tokens - 1) // 64
+        con = _dd.connect()
+        con.register("docs_tbl", __import__("pandas").DataFrame(
+            rows, columns=["doc_id", "text"]
+        ))
+        want = con.execute(
+            PK.pack_manifest_sql("docs_tbl", "doc_id", max_tokens=64,
+                                 n_shards=3, n_subs=4)
+        ).fetchall()
+        assert {tuple(r) for r in got} == {tuple(r) for r in want}

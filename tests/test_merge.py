@@ -383,3 +383,49 @@ def test_update_mode_ignores_unknown_keys(spark, tmp_path):
     # tombstone in update mode (delete_enabled) wipes the key
     ap2.apply_batch(mkdf(spark, [env("c1", None, "d", 12)]), batch_id=2)
     assert ap2.read("transcripts_conversation_turns").count() == 0
+
+
+def test_foreign_table_tombstones_scoped_to_topic(spark, plan, tmp_path):
+    """Tombstones wipe matching keys from tables of the SAME topic that
+    this plan doesn't know (drift: created by another schema
+    fingerprint) — and never touch a different topic's tables sharing
+    the warehouse."""
+    from kafka_connect_jdbc_flatten_spark.lake.table import SEQ_COL, LakeTable
+
+    wh = tmp_path / "wh"
+    ap = CdcApplier(spark, str(wh), plan, n_buckets=4)
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("extra", T.StringType(), True),
+        T.StructField(SEQ_COL, T.LongType(), True),
+    ])
+    rows = [("c1", "x", 1), ("c2", "y", 1)]
+
+    # same-topic foreign table (as a drifted fingerprint would create)
+    same = LakeTable.create(
+        spark, str(wh / "transcripts_conversation_extra"), schema,
+        ["conv_id"], n_buckets=4,
+    )
+    same.merge(spark.createDataFrame(rows, schema), mode="replace",
+               scope_keys=["conv_id"], batch_id=0)
+    # different-topic table sharing the warehouse
+    other = LakeTable.create(
+        spark, str(wh / "orders_order"), schema, ["conv_id"], n_buckets=4,
+    )
+    other.merge(spark.createDataFrame(rows, schema), mode="replace",
+                scope_keys=["conv_id"], batch_id=0)
+
+    ap.apply_batch(
+        mkdf(spark, [env("c1", [(0, "u", "a", "")], "c", 1),
+                     env("c2", [(0, "u", "b", "")], "c", 2)]),
+        batch_id=0,
+    )
+    ap.apply_batch(mkdf(spark, [env("c1", None, "d", 3)]), batch_id=1)
+
+    assert {r.conv_id for r in same.read().collect()} == {"c2"}
+    assert {r.conv_id for r in other.read().collect()} == {"c1", "c2"}
+    # replaying the tombstone batch is a no-op (exactly-once ledger)
+    v = same._current_version()
+    ap.apply_batch(mkdf(spark, [env("c1", None, "d", 3)]), batch_id=1)
+    assert same._current_version() == v
