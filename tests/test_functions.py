@@ -352,3 +352,42 @@ def test_oracle_lint_all_green_and_catches_r02_shape():
     assert any("SUM" in p for p in problems)
     assert any("FLOOR" in p for p in problems)
     assert any("/" in p for p in problems)
+
+
+def test_brute_topk_arrow_matches_expr(spark):
+    """The Arrow/numpy GEMM form of the exact top-k must equal the
+    oracle-gated expr fold at the rounded precision, including the
+    (score desc, id asc) tie order, at both tiny and full testdata
+    scale and under multiple partitions."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        tuple(r)
+        for r in SIM.brute_force_topk(emb, q, k=10, impl="expr").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in SIM.brute_force_topk(
+            emb.repartition(8), q, k=10, impl="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) == 70
+    # duplicate vectors force score ties: both impls must break them
+    # by vec_id ascending
+    dup = emb.limit(1).select(F.lit(10_001).alias("vec_id"), "embedding").unionByName(
+        emb.limit(1).select(F.lit(10_000).alias("vec_id"), "embedding")
+    ).unionByName(emb.select("vec_id", "embedding"))
+    q1 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ta = [tuple(r) for r in SIM.brute_force_topk(dup, q1, k=3, impl="expr")
+          .orderBy("rank").collect()]
+    tb = [tuple(r) for r in SIM.brute_force_topk(dup.repartition(4), q1, k=3, impl="arrow")
+          .orderBy("rank").collect()]
+    assert ta == tb
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        SIM.brute_force_topk(emb, q, impl="gpu")
