@@ -391,3 +391,23 @@ def test_brute_topk_arrow_matches_expr(spark):
 
     with pytest.raises(ValueError, match="impl"):
         SIM.brute_force_topk(emb, q, impl="gpu")
+
+
+def test_embedding_neardup_arrow_matches_expr(spark):
+    """GEMM all-pairs near-dup must equal the expr fold (pairs AND
+    rounded scores) across partitionings, and at sf0.1 scale."""
+    for sf, parts in (("sf0.001", 4), ("sf0.1", 8)):
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        a = sorted(
+            tuple(r)
+            for r in SIM.embedding_neardup_pairs(
+                emb, threshold=0.4, impl="expr"
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in SIM.embedding_neardup_pairs(
+                emb.repartition(parts), threshold=0.4, impl="arrow"
+            ).collect()
+        )
+        assert a == b and len(a) > 0, sf
