@@ -411,3 +411,20 @@ def test_embedding_neardup_arrow_matches_expr(spark):
             ).collect()
         )
         assert a == b and len(a) > 0, sf
+
+
+def test_lsh_and_ivf_arrow_rerank_match_expr(spark):
+    """The Arrow row-wise rerank must produce identical results to the
+    expr fold for both approximate paths (same candidates by
+    construction, same rounded scores and tie order)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for fn, kw in (
+        (SIM.lsh_topk, dict(k=10, dim=64, n_planes=4, n_tables=4)),
+        (SIM.ivf_topk, dict(k=10, n_centroids=8, nprobe=4, iters=2, dim=64)),
+    ):
+        a = sorted(tuple(r) for r in fn(emb, q, impl="expr", **kw).collect())
+        b = sorted(tuple(r) for r in fn(emb, q, impl="arrow", **kw).collect())
+        assert a == b and len(a) > 0, fn.__name__
