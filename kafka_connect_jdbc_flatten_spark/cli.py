@@ -122,16 +122,16 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
         )
         manifest.write.mode("overwrite").parquet(args.out + "_pack")
         # DISTINCT training windows (r2 advisory: summing per-doc window
-        # spans double-counts windows straddled by multiple docs)
-        summary["windows"] = (
-            manifest.select(
-                "shard",
-                F.explode(
-                    F.sequence("first_window", "last_window")
-                ).alias("w"),
-            )
-            .distinct()
-            .count()
+        # spans double-counts windows straddled by multiple docs).
+        # Offsets tile each shard contiguously from 0 (pinned by the
+        # packing tests), so every window ≤ the shard's max is occupied:
+        # count = Σ_shard (max(last_window) + 1) — one tiny aggregate,
+        # no explode.
+        summary["windows"] = int(
+            manifest.groupBy("shard")
+            .agg(F.max("last_window").alias("mw"))
+            .agg(F.sum(F.col("mw") + 1))
+            .collect()[0][0]
         )
     print(json.dumps(summary))
     return 0

@@ -31,6 +31,18 @@ from pyspark.sql import functions as F
 from .util import spread
 
 
+def _round_half_up(arr, dp: int):
+    """HALF_UP rounding matching Spark ``F.round`` and DuckDB
+    ``round`` — numpy's ``np.round`` is banker's (half-even), which
+    diverges on exact halves (e.g. cosine 1/32 at 4 dp: HALF_UP
+    0.0313, half-even 0.0312), flipping threshold membership and
+    tie order between the Arrow and expr impls."""
+    import numpy as np
+
+    s = 10.0 ** dp
+    return np.sign(arr) * np.floor(np.abs(arr) * s + 0.5) / s
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -123,26 +135,28 @@ def _brute_force_topk_arrow(
     full cross product — strictly less traffic than the expr form's
     window input.
     """
-    import math
+    import numpy as np
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, score double"
 
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     if not q_rows:
-        schema_empty = f"{query_id_col} long, {id_col} long, score double, rank int"
-        return embeddings.sparkSession.createDataFrame([], schema_empty)
-    q_ids = [r[0] for r in q_rows]
-    q_mat = [[float(x) for x in r[1]] for r in q_rows]
-
-    out_schema = (
-        f"{query_id_col} long, {id_col} long, score double"
-    )
+        return embeddings.sparkSession.createDataFrame(
+            [], out_schema + ", rank int"
+        )
+    # ship prebuilt ndarrays in the closure (a list-of-lists closure is
+    # ~8-10× the serialized size and re-parses per task)
+    q_ids = np.asarray([r[0] for r in q_rows])
+    Q = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
 
     def score_batches(batches):
         import numpy as np
 
-        Q = np.asarray(q_mat, dtype=np.float64)  # (q, d)
-        qn = np.linalg.norm(Q, axis=1)
-        qn[qn == 0] = 1.0
-        qid = np.asarray(q_ids)
+        qid = q_ids
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -152,7 +166,7 @@ def _brute_force_topk_arrow(
             en = np.linalg.norm(E, axis=1)
             en[en == 0] = 1.0
             S = (E @ Q.T) / en[:, None] / qn[None, :]  # (n, q)
-            S = np.round(S, round_dp)
+            S = _round_half_up(S, round_dp)
             n = S.shape[0]
             kk = min(k, n)
             ids = pdf[id_col].to_numpy()
@@ -277,18 +291,27 @@ def _embedding_neardup_pairs_arrow(
     ``B @ Allᵀ`` product, keeps the ``id1 < id2`` upper triangle, and
     emits only the over-threshold pairs — the scan parallelizes, the
     n² work happens inside BLAS."""
+    import numpy as np
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"id1 {id_type}, id2 {id_type}, cos double"
+
     rows = embeddings.select(id_col, vec_col).collect()
-    all_ids = [r[0] for r in rows]
-    all_vecs = [[float(x) for x in r[1]] for r in rows]
+    if not rows:
+        return embeddings.sparkSession.createDataFrame([], out_schema)
+    # prebuilt ndarrays in the closure (compact pickle, no per-task
+    # list→array re-parse)
+    aid = np.asarray([r[0] for r in rows])
+    A = np.asarray(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+    )
+    an = np.linalg.norm(A, axis=1)
+    an[an == 0] = 1.0
 
     def score_batches(batches):
         import numpy as np
         import pandas as pd
 
-        A = np.asarray(all_vecs, dtype=np.float64)
-        an = np.linalg.norm(A, axis=1)
-        an[an == 0] = 1.0
-        aid = np.asarray(all_ids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -299,7 +322,9 @@ def _embedding_neardup_pairs_arrow(
             bn[bn == 0] = 1.0
             # dot / (|a|·|b|) like the expr form (not pre-normalized
             # vectors) so the two impls agree to the last ulp more often
-            S = np.round((B @ A.T) / bn[:, None] / an[None, :], round_dp)
+            S = _round_half_up(
+                (B @ A.T) / bn[:, None] / an[None, :], round_dp
+            )
             bid = pdf[id_col].to_numpy()
             keep = (S >= threshold) & (bid[:, None] < aid[None, :])
             bi, ai = np.nonzero(keep)
@@ -308,7 +333,7 @@ def _embedding_neardup_pairs_arrow(
             )
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        score_batches, schema="id1 long, id2 long, cos double"
+        score_batches, schema=out_schema
     )
 
 
@@ -656,18 +681,26 @@ def _rerank_rowwise_arrow(
     q·dim floats — the same budget the broadcast-join form used).
     Scan-local: no extra shuffle vs the expr fold, ~10× its per-core
     throughput; exact at the rounded precision (pinned in tests)."""
+    import numpy as np
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = cand_vec.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, score double"
+
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        return cand_vec.sparkSession.createDataFrame([], out_schema)
     q_index = {r[0]: i for i, r in enumerate(q_rows)}
-    q_mat = [[float(x) for x in r[1]] for r in q_rows]
-    out_schema = f"{query_id_col} long, {id_col} long, score double"
+    Q = np.asarray(
+        [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
+    )
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
 
     def score(batches):
         import numpy as np
         import pandas as pd
 
-        Q = np.asarray(q_mat, dtype=np.float64)
-        qn = np.linalg.norm(Q, axis=1)
-        qn[qn == 0] = 1.0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -682,7 +715,7 @@ def _rerank_rowwise_arrow(
                 {
                     query_id_col: pdf[query_id_col],
                     id_col: pdf[id_col],
-                    "score": np.round(s, round_dp),
+                    "score": _round_half_up(s, round_dp),
                 }
             )
 

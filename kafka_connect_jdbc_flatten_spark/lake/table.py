@@ -104,11 +104,13 @@ class LakeTable:
         return t
 
     @classmethod
-    def create_if_not_exists(cls, spark, path, schema, key_cols, n_buckets=16):
+    def create_if_not_exists(
+        cls, spark, path, schema, key_cols, n_buckets=16, properties=None
+    ):
         t = cls(spark, path)
         if os.path.exists(os.path.join(t._manifest_dir, "CURRENT")):
             return t
-        return cls.create(spark, path, schema, key_cols, n_buckets)
+        return cls.create(spark, path, schema, key_cols, n_buckets, properties)
 
     @classmethod
     def exists(cls, spark, path) -> bool:

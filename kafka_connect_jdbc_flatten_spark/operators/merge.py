@@ -98,8 +98,12 @@ class CdcApplier:
                     f"Table {spec.table_name} is missing and auto-creation "
                     "is disabled (auto.create=false, DbStructure.java:105-110)"
                 )
+            # the topic is stamped into the manifest so warehouse-wide
+            # operations (tombstone fan-out, GC) can scope by topic
+            # exactly, independent of table renames or prefix collisions
             self.tables[spec.table_name] = LakeTable.create_if_not_exists(
-                spark, path, schema, keys, n_buckets
+                spark, path, schema, keys, n_buckets,
+                properties={"topic": plan.config.topic},
             )
 
     # ------------------------------------------------------------------
@@ -261,14 +265,31 @@ class CdcApplier:
             cfg.topic.replace(".", cfg.delimiter).lower()
         ).lower()
         delim = cfg.delimiter.lower()
+
+        def _same_topic(name: str) -> bool:
+            # exact scoping via the manifest's topic property (stamped
+            # at create time) — a name-prefix test alone both matches a
+            # DIFFERENT topic whose delimiter-joined name shares the
+            # prefix (topic "shop" vs "shop.orders" under "_") and
+            # misses same-topic tables renamed out of the prefix via
+            # rename_tables.  Tables created before the property existed
+            # fall back to the prefix test.
+            try:
+                props = LakeTable(
+                    self.spark, os.path.join(self.warehouse, name)
+                ).manifest().get("properties") or {}
+            except OSError:
+                return False
+            if "topic" in props:
+                return props["topic"] == cfg.topic
+            return name.lower() == topic_part or name.lower().startswith(
+                topic_part + delim
+            )
+
         foreign = [
             n
             for n in TableMonitor(self.warehouse).list_tables()
-            if n not in self.tables
-            and (
-                n.lower() == topic_part
-                or n.lower().startswith(topic_part + delim)
-            )
+            if n not in self.tables and _same_topic(n)
         ]
         if not foreign:
             return {}

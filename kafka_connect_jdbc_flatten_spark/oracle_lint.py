@@ -40,12 +40,13 @@ RESERVED_OUTPUT_NAMES = frozenset(
 def lint_oracle_sql(sql: str) -> list[str]:
     """Return a list of engine-portability problems (empty = clean)."""
     problems: list[str] = []
-    # 1. reserved output aliases, quoted or bare
+    # 1. reserved output aliases, quoted or bare.  No exemptions: a
+    # token after AS is an alias position in every engine this lint
+    # targets (the AS inside CAST(x AS TYPE) is followed by a TYPE
+    # name, and type names like BIGINT are not in the reserved list).
     for m in re.finditer(r'(?i)\bAS\s+("?)([A-Za-z_][A-Za-z0-9_]*)\1', sql):
         name = m.group(2).lower()
-        if name in RESERVED_OUTPUT_NAMES and name not in (
-            "cast", "case", "end", "left", "right",  # appear as keywords, never aliases here
-        ):
+        if name in RESERVED_OUTPUT_NAMES:
             problems.append(f"reserved-word output alias {m.group(2)!r}")
     # 2. FLOOR not pinned by a cast — result type varies by engine.
     # Accepted forms: `CAST(FLOOR(...) AS T)` or postfix `FLOOR(...)::T`
@@ -60,13 +61,37 @@ def lint_oracle_sql(sql: str) -> list[str]:
             i += 1
         if "CAST" not in pre and not sql[i:].lstrip().startswith("::"):
             problems.append("FLOOR(...) without explicit cast")
-    # 3. window SUM without CAST — HUGEINT/decimal type drift
+    # 3. window SUM whose RESULT is not directly pinned by a cast —
+    # HUGEINT/decimal type drift.  The SUM argument is paren-matched
+    # (a CAST inside the argument does not pin the SUM result), OVER
+    # and its (...) window spec are skipped, and the pin must be either
+    # a directly-wrapping CAST( ... immediately before SUM, or a
+    # postfix ::TYPE after the window spec.
     for m in re.finditer(r"(?i)\bSUM\s*\(", sql):
-        tail = sql[m.start() : m.start() + 400]
-        if re.match(r"(?is)\bSUM\s*\([^()]*\)\s*OVER\b", tail):
-            pre = sql[max(0, m.start() - 40) : m.start()].upper()
-            if "CAST" not in pre:
-                problems.append("window SUM(...) OVER without CAST")
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        rest = sql[i:]
+        mo = re.match(r"(?is)\s*OVER\s*\(", rest)
+        if not mo:
+            continue  # plain aggregate; fetch layers widen consistently
+        depth, j = 1, i + mo.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        directly_wrapped = re.search(
+            r"(?i)CAST\s*\(\s*(COALESCE\s*\(\s*)?$", sql[: m.start()]
+        )
+        postfix_cast = sql[j:].lstrip(" \t\n)").startswith("::")
+        if not directly_wrapped and not postfix_cast:
+            problems.append("window SUM(...) OVER without pinning CAST")
     # 4. bare `/` inside a FLOOR argument
     for m in re.finditer(r"(?i)\bFLOOR\s*\(", sql):
         depth, i = 1, m.end()

@@ -428,3 +428,75 @@ def test_lsh_and_ivf_arrow_rerank_match_expr(spark):
         a = sorted(tuple(r) for r in fn(emb, q, impl="expr", **kw).collect())
         b = sorted(tuple(r) for r in fn(emb, q, impl="arrow", **kw).collect())
         assert a == b and len(a) > 0, fn.__name__
+
+
+def test_arrow_rounding_is_half_up_like_spark(spark):
+    """np.round is banker's (half-even); Spark/DuckDB round is HALF_UP.
+    The Arrow kernels' _round_half_up must match Spark F.round on
+    exact halves, both signs."""
+    import numpy as np
+
+    vals = [0.03125, -0.03125, 0.00005, -0.00005, 0.12345, 0.5, 1.0 / 64]
+    got = list(SIM._round_half_up(np.asarray(vals), 4))
+    want = [
+        r[0]
+        for v in vals
+        for r in spark.range(1).select(F.round(F.lit(v), 4)).collect()
+    ]
+    assert got == want, list(zip(vals, got, want))
+    # and np.round would NOT have matched (sanity that the test bites)
+    assert list(np.round(np.asarray([0.03125]), 4)) != [0.0313]
+
+
+def test_arrow_kernels_handle_empty_inputs(spark):
+    """Empty query sets / empty tables must return empty frames, not
+    crash in numpy axis handling."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    none_q = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert SIM.brute_force_topk(emb, none_q, impl="arrow").count() == 0
+    assert SIM.lsh_topk(emb, none_q, dim=64, impl="arrow").count() == 0
+    empty_emb = emb.filter(F.col("vec_id") < 0)
+    assert (
+        SIM.embedding_neardup_pairs(empty_emb, threshold=0.4, impl="arrow")
+        .count()
+        == 0
+    )
+
+
+def test_arrow_kernels_preserve_id_types(spark):
+    """The mapInPandas output schema must carry the INPUT id types —
+    string ids work identically in expr and arrow impls."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.concat(F.lit("v"), F.lpad(F.col("vec_id").cast("string"), 5, "0")).alias("vec_id"),
+        "embedding",
+    )
+    q = emb.filter(F.col("vec_id") <= "v00002").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(tuple(r) for r in SIM.brute_force_topk(emb, q, k=5, impl="expr").collect())
+    b = sorted(tuple(r) for r in SIM.brute_force_topk(emb, q, k=5, impl="arrow").collect())
+    assert a == b and len(a) == 15
+    pa = sorted(tuple(r) for r in SIM.embedding_neardup_pairs(emb, 0.4, id_col="vec_id", impl="expr").collect())
+    pb = sorted(tuple(r) for r in SIM.embedding_neardup_pairs(emb, 0.4, id_col="vec_id", impl="arrow").collect())
+    assert pa == pb
+
+
+def test_oracle_lint_window_sum_inner_cast_and_nearby_cast():
+    """Two verified false negatives from the round-3 review: a CAST
+    INSIDE the SUM argument doesn't pin the window-sum result type,
+    and an unrelated CAST shortly before the SUM must not suppress
+    the rule."""
+    from kafka_connect_jdbc_flatten_spark.oracle_lint import lint_oracle_sql
+
+    fn1 = "SELECT SUM(CAST(n AS BIGINT)) OVER (PARTITION BY s ORDER BY i) AS x FROM t"
+    fn2 = "SELECT CAST(a AS BIGINT) AS a2, SUM(n) OVER (ORDER BY i) AS x FROM t"
+    assert any("SUM" in p for p in lint_oracle_sql(fn1))
+    assert any("SUM" in p for p in lint_oracle_sql(fn2))
+    ok = "SELECT CAST(COALESCE(SUM(n) OVER (ORDER BY i), 0) AS BIGINT) AS x FROM t"
+    assert lint_oracle_sql(ok) == []
+    assert any(
+        "reserved" in p
+        for p in lint_oracle_sql("SELECT x AS left FROM t")
+    )

@@ -429,3 +429,44 @@ def test_foreign_table_tombstones_scoped_to_topic(spark, plan, tmp_path):
     v = same._current_version()
     ap.apply_batch(mkdf(spark, [env("c1", None, "d", 3)]), batch_id=1)
     assert same._current_version() == v
+
+
+def test_foreign_tombstones_use_topic_property_not_prefix(spark, plan, tmp_path):
+    """Round-3 review: prefix matching alone both over-matches a
+    DIFFERENT topic whose delimiter-joined name shares the prefix and
+    misses same-topic tables renamed out of the prefix.  The manifest
+    topic property (stamped at create) scopes exactly; property-less
+    tables keep the prefix fallback."""
+    from kafka_connect_jdbc_flatten_spark.lake.table import SEQ_COL, LakeTable
+
+    wh = tmp_path / "wh"
+    ap = CdcApplier(spark, str(wh), plan, n_buckets=4)
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField(SEQ_COL, T.LongType(), True),
+    ])
+    rows = [("c1", 1), ("c2", 1)]
+
+    # DIFFERENT topic, prefix-colliding name (topic transcripts.other)
+    collide = LakeTable.create(
+        spark, str(wh / "transcripts_other_x"), schema, ["conv_id"],
+        n_buckets=4, properties={"topic": "transcripts.other"},
+    )
+    collide.merge(spark.createDataFrame(rows, schema), mode="replace",
+                  scope_keys=["conv_id"], batch_id=0)
+    # SAME topic, renamed out of the prefix
+    renamed = LakeTable.create(
+        spark, str(wh / "zzz_renamed"), schema, ["conv_id"],
+        n_buckets=4, properties={"topic": "transcripts"},
+    )
+    renamed.merge(spark.createDataFrame(rows, schema), mode="replace",
+                  scope_keys=["conv_id"], batch_id=0)
+
+    ap.apply_batch(
+        mkdf(spark, [env("c1", [(0, "u", "a", "")], "c", 1)]), batch_id=0
+    )
+    ap.apply_batch(mkdf(spark, [env("c1", None, "d", 2)]), batch_id=1)
+
+    assert {r.conv_id for r in collide.read().collect()} == {"c1", "c2"}
+    assert {r.conv_id for r in renamed.read().collect()} == {"c2"}
