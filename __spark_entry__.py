@@ -1092,6 +1092,21 @@ SEQUENCE_PACKING_SQL = PK.pack_manifest_sql(
 )
 
 
+def q_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-slice emitter over the packing manifest: one row per
+    (doc, training window) with the doc-relative token range inside
+    that window — the join target a training loader uses to assemble
+    fixed-length batches.  Pure integer arithmetic past the
+    distributed prefix sum; exact DuckDB mirror."""
+    docs = _read(spark, sf_dir, "documents")
+    return PK.pack_windows(docs, "doc_id", max_tokens=512, n_shards=8)
+
+
+SEQUENCE_WINDOWS_SQL = PK.pack_windows_sql(
+    "documents", "doc_id", max_tokens=512, n_shards=8
+)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep composite: quality-score filter
     + exact-dedup winners + near-dup cluster representative, in one
@@ -1297,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
+        "sequence_windows": q_sequence_windows,
         "corpus_prep": q_corpus_prep,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
@@ -1357,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": DEDUP_CLUSTERS_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "sequence_packing": SEQUENCE_PACKING_SQL,
+        "sequence_windows": SEQUENCE_WINDOWS_SQL,
         "corpus_prep": CORPUS_PREP_SQL,
         "simhash_values": f"SELECT doc_id, {D.simhash_sql('text')} AS simhash FROM documents",
         "dedup_simhash": D.simhash_neardup_pairs_sql(

@@ -114,6 +114,57 @@ def pack_manifest(
     )
 
 
+def pack_windows(
+    df: DataFrame,
+    id_col: str,
+    max_tokens: int,
+    n_shards: int = 8,
+    n_subs: int = 16,
+    tokens: Column | None = None,
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Window-slice emitter: one row per (document, training window)
+    with the token sub-range of the doc inside that window —
+    ``(shard, win_idx, doc_id, tok_start, tok_end)`` (``tok_start``
+    inclusive, ``tok_end`` exclusive, doc-relative).  This is exactly
+    what a training loader joins against the tokenized corpus to
+    assemble fixed-length batches without re-scanning documents.
+
+    Derivation is pure integer arithmetic on the manifest: a doc
+    occupying windows ``first..last`` contributes, for window w,
+    the intersection of ``[w·max, (w+1)·max)`` with
+    ``[tok_offset, tok_offset + n_tokens)`` shifted doc-relative.
+    Scale shape: one ``explode(sequence(first, last))`` past the
+    distributed-prefix-sum manifest — output rows =
+    Σ windows-per-doc ≈ corpus_tokens / max_tokens + n_docs, all
+    scan-local after the manifest's exchanges.
+    """
+    man = pack_manifest(
+        df, id_col, max_tokens, n_shards, n_subs, tokens, text_col, salt
+    )
+    win = F.col("win_idx")
+    start_abs = F.greatest(win * max_tokens, F.col("tok_offset"))
+    end_abs = F.least(
+        (win + 1) * max_tokens, F.col("tok_offset") + F.col("n_tokens")
+    )
+    return man.select(
+        "shard",
+        F.explode(
+            F.sequence(F.col("first_window"), F.col("last_window"))
+        ).alias("win_idx"),
+        "doc_id",
+        "tok_offset",
+        "n_tokens",
+    ).select(
+        "shard",
+        "win_idx",
+        "doc_id",
+        (start_abs - F.col("tok_offset")).cast("long").alias("tok_start"),
+        (end_abs - F.col("tok_offset")).cast("long").alias("tok_end"),
+    )
+
+
 def pack_manifest_sql(
     table: str,
     id_col: str,
@@ -155,4 +206,34 @@ SELECT doc_id, shard, n_tokens, tok_offset,
        CAST((tok_offset + n_tokens - 1) // {max_tokens} AS BIGINT)
          AS last_window
 FROM offs
+"""
+
+
+def pack_windows_sql(
+    table: str,
+    id_col: str,
+    max_tokens: int,
+    n_shards: int = 8,
+    n_subs: int = 16,
+    tokens_expr: str | None = None,
+    text_col: str = "text",
+    salt: str = "pack",
+) -> str:
+    """DuckDB mirror of :func:`pack_windows` — integer-only arithmetic
+    over the manifest CTE (same engine-proofing rules)."""
+    manifest = pack_manifest_sql(
+        table, id_col, max_tokens, n_shards, n_subs, tokens_expr,
+        text_col, salt,
+    )
+    return f"""
+WITH manifest AS ({manifest})
+SELECT shard,
+       CAST(w.win_idx AS BIGINT) AS win_idx,
+       doc_id,
+       CAST(GREATEST(w.win_idx * {max_tokens}, tok_offset)
+            - tok_offset AS BIGINT) AS tok_start,
+       CAST(LEAST((w.win_idx + 1) * {max_tokens}, tok_offset + n_tokens)
+            - tok_offset AS BIGINT) AS tok_end
+FROM manifest,
+     UNNEST(generate_series(first_window, last_window)) AS w(win_idx)
 """

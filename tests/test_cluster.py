@@ -357,3 +357,57 @@ def test_pack_manifest_properties_random_corpora(spark):
                                  n_shards=3, n_subs=4)
         ).fetchall()
         assert {tuple(r) for r in got} == {tuple(r) for r in want}
+
+
+def test_pack_windows_slices_and_duckdb_parity(spark):
+    """Window slices must (a) partition each doc's tokens exactly
+    (ranges tile [0, n_tokens) in win_idx order), (b) fill every
+    window to max_tokens except each shard's last, and (c) match the
+    DuckDB mirror bit-for-bit."""
+    import duckdb as _dd
+
+    from kafka_connect_jdbc_flatten_spark.functions import pack as PK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    man = {r.doc_id: r for r in PK.pack_manifest(docs, "doc_id", 128, 2).collect()}
+    wins = PK.pack_windows(docs, "doc_id", 128, 2).collect()
+    # (a) per-doc tiling
+    per_doc: dict = {}
+    for r in wins:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(man)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.win_idx)
+        pos = 0
+        for r in rows:
+            assert r.tok_start == pos and r.tok_end > r.tok_start, r
+            pos = r.tok_end
+        assert pos == man[doc_id].n_tokens
+    # (b) window fill: sum of slice lengths per (shard, win) == 128
+    # for all but each shard's final window
+    fill: dict = {}
+    for r in wins:
+        fill[(r.shard, r.win_idx)] = fill.get((r.shard, r.win_idx), 0) + (
+            r.tok_end - r.tok_start
+        )
+    last = {}
+    for (s, w) in fill:
+        last[s] = max(last.get(s, -1), w)
+    for (s, w), tot in fill.items():
+        if w < last[s]:
+            assert tot == 128, (s, w, tot)
+        else:
+            assert 0 < tot <= 128
+    # (c) DuckDB parity
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            PK.pack_windows_sql("documents", "doc_id", 128, 2)
+        ).fetchall()
+    }
+    assert {tuple(r) for r in wins} == want
