@@ -83,8 +83,16 @@ class LakeTable:
         key_cols: list[str],
         n_buckets: int = 16,
         properties: dict | None = None,
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
-        """CREATE TABLE — auto-create analogue (``DbStructure.java:107-121``)."""
+        """CREATE TABLE — auto-create analogue (``DbStructure.java:107-121``).
+
+        ``bucket_cols`` (default = ``key_cols``) is the hash-layout
+        key, recorded in the manifest: every bucket-pruned rewrite
+        (merge, delete) validates its scope against it, so a caller
+        can never silently read/rewrite the wrong buckets (r3 review:
+        ``overwrite()`` bucketing by row PK while merges bucket by the
+        key scope left tombstoned rows alive forever)."""
         t = cls(spark, path)
         os.makedirs(t._manifest_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -94,6 +102,7 @@ class LakeTable:
             "version": 0,
             "schema": schema.json(),
             "key_cols": list(key_cols),
+            "bucket_cols": list(bucket_cols or key_cols),
             "n_buckets": n_buckets,
             "files": {},  # bucket(str) -> [file paths]
             "last_committed_batch_id": {},  # writer_id -> batch_id
@@ -105,12 +114,15 @@ class LakeTable:
 
     @classmethod
     def create_if_not_exists(
-        cls, spark, path, schema, key_cols, n_buckets=16, properties=None
+        cls, spark, path, schema, key_cols, n_buckets=16, properties=None,
+        bucket_cols=None,
     ):
         t = cls(spark, path)
         if os.path.exists(os.path.join(t._manifest_dir, "CURRENT")):
             return t
-        return cls.create(spark, path, schema, key_cols, n_buckets, properties)
+        return cls.create(
+            spark, path, schema, key_cols, n_buckets, properties, bucket_cols
+        )
 
     @classmethod
     def exists(cls, spark, path) -> bool:
@@ -145,7 +157,7 @@ class LakeTable:
                 f"table {self.path} moved past v{base_version}"
             )
         manifest["version"] = base_version + 1
-        manifest["snapshots"] = (manifest.get("snapshots") or [])[-100:]
+        manifest["snapshots"] = (manifest.get("snapshots") or [])[-99:]
         manifest["snapshots"].append(
             {"version": manifest["version"], "wall_ms": int(time.time() * 1000)}
         )
@@ -219,6 +231,19 @@ class LakeTable:
             return allrows.drop(MOR_DELETE_COL, SEG_COL)
         return self._reconcile(allrows, m)
 
+    @staticmethod
+    def _delta_bytes(segments: list) -> int:
+        """On-disk bytes of the delta segments — a free driver-side
+        upper bound on reconcile key-map rows, shared by the update
+        and replace broadcast guards."""
+        return sum(
+            os.path.getsize(f)
+            for seg in segments
+            for fl in seg["files"].values()
+            for f in fl
+            if os.path.exists(f)
+        )
+
     def _reconcile(self, allrows: DataFrame, m: dict) -> DataFrame:
         """Merge-on-read reconciliation.
 
@@ -263,14 +288,7 @@ class LakeTable:
             )
             # same byte-bound broadcast guard as the replace reconcile:
             # delta segment bytes bound the key-map size
-            delta_bytes = sum(
-                os.path.getsize(f)
-                for seg in segments
-                for fl in seg["files"].values()
-                for f in fl
-                if os.path.exists(f)
-            )
-            if delta_bytes <= MOR_BROADCAST_DELTA_BYTES:
+            if self._delta_bytes(segments) <= MOR_BROADCAST_DELTA_BYTES:
                 delta_keys = F.broadcast(delta_keys)
             untouched = base_rows.join(delta_keys, on=keys, how="left_anti")
             touched = allrows.join(delta_keys, on=keys, how="left_semi")
@@ -299,14 +317,7 @@ class LakeTable:
             # batch touches every scope key — forcing the broadcast
             # there would OOM the driver exactly like the r01 LWW bug;
             # past the cap the same join runs as a shuffle join.
-            delta_bytes = sum(
-                os.path.getsize(f)
-                for seg in segments
-                for fl in seg["files"].values()
-                for f in fl
-                if os.path.exists(f)
-            )
-            if delta_bytes <= MOR_BROADCAST_DELTA_BYTES:
+            if self._delta_bytes(segments) <= MOR_BROADCAST_DELTA_BYTES:
                 delta_keys = F.broadcast(delta_keys)
             out = (
                 allrows.join(delta_keys, on=scope, how="left")
@@ -344,10 +355,24 @@ class LakeTable:
 
     def _bucket_expr(self, key_cols=None):
         m = self.manifest()
-        kc = key_cols or m["key_cols"]
+        kc = key_cols or m.get("bucket_cols") or m["key_cols"]
         return F.pmod(F.xxhash64(*[F.col(c) for c in kc]), F.lit(m["n_buckets"])).cast(
             "int"
         )
+
+    def _check_layout_scope(self, scope: list[str], m: dict) -> None:
+        """Bucket-pruned rewrites must hash with the table's recorded
+        layout key, or the touched-bucket probe reads the wrong files
+        and rows silently survive deletes/merges.  Tables created
+        before ``bucket_cols`` existed validate against ``key_cols``
+        (their historical layout)."""
+        layout = m.get("bucket_cols") or m["key_cols"]
+        if list(scope) != list(layout):
+            raise ValueError(
+                f"scope {list(scope)} does not match table bucket layout "
+                f"{list(layout)} at {self.path}; rewriting by a different "
+                "hash key would miss existing rows"
+            )
 
     def with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COL, self._bucket_expr())
@@ -423,14 +448,21 @@ class LakeTable:
 
         Modes:
 
-        * ``lww`` — row-level MERGE keyed on ``key_cols``: union the
-          touched buckets' current rows with the batch and keep the
-          highest-``seq_col`` row per key; rows whose winning image
-          has ``delete_col = true`` are dropped (tombstone,
-          ``BufferedRecords.java:91-103``).  Idempotent and
-          out-of-order-safe: re-applying any prefix of the changelog
-          can never regress a key (MERGE condition ≈
-          ``src.seq >= tgt.seq``).
+        * ``lww`` — row-level MERGE keyed on ``key_cols``: keep the
+          winning row per key; rows whose winning image has
+          ``delete_col = true`` are dropped (tombstone,
+          ``BufferedRecords.java:91-103``).  Winner order differs by
+          strategy ON PURPOSE: ``cow`` reconciles eagerly on
+          ``seq_col`` alone (re-applying any prefix of the changelog
+          can never regress a key — MERGE condition ≈
+          ``src.seq >= tgt.seq``), while ``mor`` delta segments
+          reconcile on ``(commit order, seq)`` — the apply order IS
+          the authority, matching the reference's buffer-flush
+          ordering where the last flushed statement wins
+          (``BufferedRecords.java`` flush order), and ``CdcApplier``
+          reduces each batch to one image per key on ``seq`` first,
+          so segment order and seq order agree on the CDC path
+          (pinned by ``test_mor_out_of_order_seq_within_lww``).
         * ``replace`` — whole-image replacement, the reference's
           flatten-upsert (delete-then-insert,
           ``BufferedRecords.java:264-270, 377-415``): every existing
@@ -459,6 +491,7 @@ class LakeTable:
 
         table_cols = [f.name for f in self.schema.fields]
         scope = scope_keys or m["key_cols"]
+        self._check_layout_scope(scope, m)
 
         batch = self._align(batch).withColumn(
             BUCKET_COL,
@@ -580,6 +613,7 @@ class LakeTable:
 
         table_cols = [f.name for f in self.schema.fields]
         scope = scope_keys or m["key_cols"]
+        self._check_layout_scope(scope, m)
         out = self._align(batch).withColumn(
             BUCKET_COL,
             F.pmod(
@@ -614,6 +648,7 @@ class LakeTable:
         m = self.manifest()
         if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
             return {"skipped": True, "reason": "batch already committed"}
+        self._check_layout_scope(list(scope_keys), m)
         existing_modes = {s["mode"] for s in m.get("segments", [])}
         if existing_modes and existing_modes != {mode}:
             self.compact()
@@ -675,6 +710,7 @@ class LakeTable:
         if batch_id is not None and batch_id <= m["last_committed_batch_id"].get(writer_id, -1):
             return {"skipped": True, "reason": "batch already committed"}
         table_cols = [f.name for f in self.schema.fields]
+        self._check_layout_scope(list(scope_keys), m)
         keys_df = keys_df.select(*scope_keys).distinct().withColumn(
             BUCKET_COL,
             F.pmod(

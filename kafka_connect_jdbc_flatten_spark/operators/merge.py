@@ -100,10 +100,15 @@ class CdcApplier:
                 )
             # the topic is stamped into the manifest so warehouse-wide
             # operations (tombstone fan-out, GC) can scope by topic
-            # exactly, independent of table renames or prefix collisions
+            # exactly, independent of table renames or prefix collisions;
+            # bucket_cols records the hash layout (the MERGE scope = the
+            # key-derived PKs) so every bucket-pruned rewrite — including
+            # overwrite() bootstraps — provably hashes the same way
+            scope = list(spec.key_merge_keys) or keys
             self.tables[spec.table_name] = LakeTable.create_if_not_exists(
                 spark, path, schema, keys, n_buckets,
                 properties={"topic": plan.config.topic},
+                bucket_cols=scope,
             )
 
     # ------------------------------------------------------------------
@@ -194,10 +199,22 @@ class CdcApplier:
 
         stats: dict[str, dict] = {}
         if strategy == "mor" and self._union_ok:
+            applied = False
             try:
                 stats = self._apply_mor_union(
                     upserts, deletes, batch_id, writer_suffix
                 )
+                applied = True
+            except AnalysisException:
+                # backstop only — _union_ok already routed same-name/
+                # different-type plans to the per-table path below.
+                # The backstop covers ONLY the union write/commit: the
+                # foreign-delete fan-out runs OUTSIDE it (r3 review —
+                # an exception there after the segments durably
+                # committed would otherwise trigger a full, duplicate
+                # per-table re-apply).
+                pass
+            if applied:
                 stats.update(
                     self._delete_from_foreign_tables(
                         deletes, batch_id, writer_suffix
@@ -206,10 +223,6 @@ class CdcApplier:
                 deletes.unpersist()
                 reduced.unpersist()
                 return stats
-            except AnalysisException:
-                # backstop only — _union_ok already routed same-name/
-                # different-type plans to the per-table path below
-                pass
 
         def _merge_one(spec: TableSpec) -> tuple[str, dict]:
             table = self.tables[spec.table_name]
@@ -266,6 +279,14 @@ class CdcApplier:
         ).lower()
         delim = cfg.delimiter.lower()
 
+        # manifest-property lookups are cached: the topic property is
+        # immutable (stamped at create), and re-reading every warehouse
+        # table's manifest per tombstone-bearing micro-batch would be
+        # O(tables) driver file IO on the hot path (r3 review)
+        cache: dict[str, bool] = getattr(self, "_same_topic_cache", None)
+        if cache is None:
+            cache = self._same_topic_cache = {}
+
         def _same_topic(name: str) -> bool:
             # exact scoping via the manifest's topic property (stamped
             # at create time) — a name-prefix test alone both matches a
@@ -274,17 +295,22 @@ class CdcApplier:
             # misses same-topic tables renamed out of the prefix via
             # rename_tables.  Tables created before the property existed
             # fall back to the prefix test.
+            if name in cache:
+                return cache[name]
             try:
                 props = LakeTable(
                     self.spark, os.path.join(self.warehouse, name)
                 ).manifest().get("properties") or {}
             except OSError:
-                return False
+                return False  # not cached: transient read failure
             if "topic" in props:
-                return props["topic"] == cfg.topic
-            return name.lower() == topic_part or name.lower().startswith(
-                topic_part + delim
-            )
+                same = props["topic"] == cfg.topic
+            else:
+                same = name.lower() == topic_part or name.lower().startswith(
+                    topic_part + delim
+                )
+            cache[name] = same
+            return same
 
         foreign = [
             n
@@ -325,10 +351,17 @@ class CdcApplier:
             flat = flatten_table(inserts, spec, carry_cols=("seq",)).withColumnRenamed(
                 "seq", SEQ_COL
             )
+            # bucket by the TABLE LAYOUT (the key scope), like every
+            # other write path — appending under a different hash key
+            # (the old row-PK scope) stored rows in buckets a later
+            # bucket-pruned delete/replace would never read (the
+            # layout-mismatch class the _check_layout_scope guard
+            # exists for; it caught this site)
+            scope = list(spec.key_merge_keys) or list(spec.merge_keys) or None
             return spec.table_name, self.tables[spec.table_name].merge(
                 flat,
                 mode="append",
-                scope_keys=list(spec.merge_keys) or None,
+                scope_keys=scope,
                 batch_id=batch_id,
                 writer_id=spec.table_name + writer_suffix,
                 strategy=strategy,
@@ -391,15 +424,30 @@ class CdcApplier:
         return stats
 
     def _batch_rows(self, spec: TableSpec, upserts: DataFrame, deletes: DataFrame) -> DataFrame:
-        """Flattened upsert rows ∪ tombstone marker rows for one table."""
+        """Flattened upsert rows ∪ scope marker rows for one table.
+
+        Marker rows (key PKs + nulls, flagged for delete) come from
+        tombstones AND from every upsert envelope: whole-image
+        replacement is delete-then-insert
+        (``BufferedRecords.java:264-270``), and an upsert whose array
+        shrank to EMPTY/null flattens to ZERO child rows — without its
+        marker the child table's old rows would never be scoped for
+        deletion (r3 review: the stale-child bug; the delete-marker
+        filter removes the markers on read, so envelopes that DO
+        produce rows are unaffected)."""
         flat = flatten_table(upserts, spec, carry_cols=("seq",)).withColumn(
             DELETE_COL, F.lit(False)
         )
-        # tombstone rows: key PKs + nulls, flagged for delete
         del_rows = deletes.select(
             *self._key_exprs(spec),
             F.col("seq"),
             F.lit(True).alias(DELETE_COL),
+        ).unionByName(
+            upserts.select(
+                *self._key_exprs(spec),
+                F.col("seq"),
+                F.lit(True).alias(DELETE_COL),
+            )
         )
         key_names = set(spec.key_merge_keys)
         sel = []
@@ -478,12 +526,26 @@ class CdcApplier:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        from urllib.parse import unquote
+
+        plan_names = {s.table_name for s in plan.tables}
         files_by_table: dict[str, dict[str, list[str]]] = {}
         if os.path.isdir(out_dir):
             for d1 in os.listdir(out_dir):
                 if not d1.startswith(f"{tbl_part}="):
                     continue
-                tname = d1.split("=", 1)[1]
+                # Spark Hive-escapes special partition values as %XX —
+                # a renamed table containing such a character would
+                # otherwise parse to a name matching NO plan table, and
+                # the batch would commit an empty segment while its
+                # data files get GC'd (r3 review: silent data loss)
+                tname = unquote(d1.split("=", 1)[1])
+                if tname not in plan_names:
+                    raise RuntimeError(
+                        f"union write produced partition {tname!r} matching "
+                        f"no plan table {sorted(plan_names)} — refusing to "
+                        "commit a segment that would orphan its files"
+                    )
                 for d2 in os.listdir(os.path.join(out_dir, d1)):
                     if not d2.startswith(f"{bucket_part}="):
                         continue

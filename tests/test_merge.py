@@ -470,3 +470,40 @@ def test_foreign_tombstones_use_topic_property_not_prefix(spark, plan, tmp_path)
 
     assert {r.conv_id for r in collide.read().collect()} == {"c1", "c2"}
     assert {r.conv_id for r in renamed.read().collect()} == {"c2"}
+
+
+def test_upsert_empty_array_wipes_child_rows(spark, plan, tmp_path):
+    """Whole-image replacement with an array shrunk to EMPTY (or null)
+    must delete the previous child rows (r3 review: zero flattened
+    rows meant the scope never entered the delete set, leaving stale
+    children forever)."""
+    ap = CdcApplier(spark, str(tmp_path / "wh"), plan, n_buckets=4)
+    ap.apply_batch(
+        mkdf(spark, [
+            env("c1", [(0, "u", "a", ""), (1, "a", "b", "")], "c", 1),
+            env("c2", [(0, "u", "x", "")], "c", 2),
+            env("c3", [(0, "u", "y", "")], "c", 3),
+        ]),
+        batch_id=0,
+    )
+    assert ap.read("transcripts_conversation_turns").count() == 4
+    # c1 image shrinks to an EMPTY array; c3 image to a NULL array
+    ap.apply_batch(
+        mkdf(spark, [
+            env("c1", [], "u", 4),
+            (
+                "transcripts", 0, 5, TS, "CreateTime", ("c3",), None,
+                ("c3", None), "u", 5, TS,
+            ),
+        ]),
+        batch_id=1,
+    )
+    turns = ap.read("transcripts_conversation_turns")
+    assert {r.conv_id for r in turns.collect()} == {"c2"}
+    # parent table keeps the (childless) conversation images
+    parents = {r.conv_id for r in ap.read("transcripts_conversation").collect()}
+    assert parents == {"c1", "c2", "c3"}
+    # and compaction preserves the state
+    for t in ap.tables.values():
+        t.compact()
+    assert {r.conv_id for r in ap.read("transcripts_conversation_turns").collect()} == {"c2"}

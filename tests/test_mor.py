@@ -335,3 +335,36 @@ def test_mor_update_reconcile_preserves_untouched_duplicates(spark, tmp_path):
     # single winning image (key-level update semantics, documented)
     t.merge(mk(spark, [(1, "fixed", 3)]), mode="update", batch_id=2)
     assert state(t) == [(1, "fixed"), (2, "b2")]
+
+
+def test_overwrite_bootstrap_respects_bucket_layout(spark, tmp_path):
+    """r3 review: overwrite() bucketed by key_cols while merges/deletes
+    bucket by the recorded layout — a bootstrap overwrite followed by a
+    bucket-pruned delete silently missed rows.  With bucket_cols in
+    the manifest, overwrite hashes the layout key and mismatched
+    rewrite scopes raise instead of corrupting."""
+    import pytest
+    from pyspark.sql import types as TT
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.LongType(), False),
+        T.StructField(SEQ_COL, T.LongType(), True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["conv_id", "turn_idx"],
+        n_buckets=8, bucket_cols=["conv_id"],
+    )
+    rows = [(f"c{i}", j, 1) for i in range(20) for j in range(2)]
+    t.overwrite(spark.createDataFrame(rows, schema), batch_id=0)
+    keys = spark.createDataFrame([("c3",), ("c7",)], "conv_id string")
+    t.delete_where_keys(keys, ["conv_id"], batch_id=1)
+    left = {r.conv_id for r in t.read().collect()}
+    assert "c3" not in left and "c7" not in left
+    assert len(left) == 18
+    # a rewrite scoped by a different hash key is refused loudly
+    with pytest.raises(ValueError, match="bucket layout"):
+        t.delete_where_keys(
+            spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx long"),
+            ["conv_id", "turn_idx"],
+        )
