@@ -442,13 +442,19 @@ class CdcApplier:
             *self._key_exprs(spec),
             F.col("seq"),
             F.lit(True).alias(DELETE_COL),
-        ).unionByName(
-            upserts.select(
-                *self._key_exprs(spec),
-                F.col("seq"),
-                F.lit(True).alias(DELETE_COL),
-            )
         )
+        if spec.chain:
+            # only container tables can flatten an envelope to ZERO
+            # rows (the root table yields exactly one row per image,
+            # so its scope is always present); markers for every
+            # envelope on the root would be pure per-batch overhead
+            del_rows = del_rows.unionByName(
+                upserts.select(
+                    *self._key_exprs(spec),
+                    F.col("seq"),
+                    F.lit(True).alias(DELETE_COL),
+                )
+            )
         key_names = set(spec.key_merge_keys)
         sel = []
         for cs in spec.columns:
