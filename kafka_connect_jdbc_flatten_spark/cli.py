@@ -127,11 +127,14 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
         # packing tests), so every window ≤ the shard's max is occupied:
         # count = Σ_shard (max(last_window) + 1) — one tiny aggregate,
         # no explode.
+        # `or 0`: an empty manifest (every doc filtered out) makes the
+        # SUM NULL, and int(None) would raise (r3 advisory)
         summary["windows"] = int(
             manifest.groupBy("shard")
             .agg(F.max("last_window").alias("mw"))
             .agg(F.sum(F.col("mw") + 1))
             .collect()[0][0]
+            or 0
         )
     print(json.dumps(summary))
     return 0

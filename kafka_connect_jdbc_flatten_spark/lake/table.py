@@ -279,22 +279,37 @@ class LakeTable:
             # insert.mode=insert and since compacted into the base.
             # SQL UPDATE modifies matching rows; it never deduplicates
             # rows it didn't match.
+            #
+            # Multiplicity (r3 advisory): SQL UPDATE modifies EACH
+            # matching row — duplicate base rows for a touched key must
+            # all survive, each rewritten with the winning delta image's
+            # values, not be collapsed to one winner row.  So the winner
+            # is reduced over DELTA rows only and its non-key values are
+            # joined back onto every matching base row (an equi-join on
+            # the key preserves base-row multiplicity exactly); a
+            # winning delete marker drops all matching rows, which is
+            # DELETE semantics.
             from ..operators.lww import lww_reduce_agg
 
             keys = m["key_cols"]
             base_rows = allrows.filter(F.col(SEG_COL) == 0)
-            delta_keys = (
-                allrows.filter(F.col(SEG_COL) > 0).select(*keys).distinct()
+            delta_rows = allrows.filter(F.col(SEG_COL) > 0)
+            winner = lww_reduce_agg(delta_rows, keys, [SEG_COL, SEQ_COL])
+            val_cols = [c for c in allrows.columns if c not in keys]
+            winner_vals = winner.select(
+                *keys, *[F.col(c).alias(f"__u_{c}") for c in val_cols]
             )
+            delta_keys = winner.select(*keys)
             # same byte-bound broadcast guard as the replace reconcile:
-            # delta segment bytes bound the key-map size
+            # delta segment bytes bound the winner-map size
             if self._delta_bytes(segments) <= MOR_BROADCAST_DELTA_BYTES:
+                winner_vals = F.broadcast(winner_vals)
                 delta_keys = F.broadcast(delta_keys)
             untouched = base_rows.join(delta_keys, on=keys, how="left_anti")
-            touched = allrows.join(delta_keys, on=keys, how="left_semi")
-            winner = lww_reduce_agg(touched, keys, [SEG_COL, SEQ_COL])
-            updated = winner.join(
-                base_rows.select(*keys).distinct(), on=keys, how="left_semi"
+            # inner join: unknown delta keys (no base row) vanish —
+            # SQL UPDATE silently ignores them
+            updated = base_rows.join(winner_vals, on=keys, how="inner").select(
+                *keys, *[F.col(f"__u_{c}").alias(c) for c in val_cols]
             )
             return (
                 untouched.unionByName(updated)
@@ -363,10 +378,23 @@ class LakeTable:
     def _check_layout_scope(self, scope: list[str], m: dict) -> None:
         """Bucket-pruned rewrites must hash with the table's recorded
         layout key, or the touched-bucket probe reads the wrong files
-        and rows silently survive deletes/merges.  Tables created
-        before ``bucket_cols`` existed validate against ``key_cols``
-        (their historical layout)."""
-        layout = m.get("bucket_cols") or m["key_cols"]
+        and rows silently survive deletes/merges.
+
+        Manifests created before ``bucket_cols`` existed don't record
+        their physical layout, and it is NOT ``key_cols``: the pre-
+        ``bucket_cols`` write path bucketed by the MERGE scope (the
+        key-derived PKs) while ``key_cols`` held the row PK — child
+        tables (row PK ⊃ key scope) would fail this check on every
+        merge forever after an upgrade (r3 advisory).  The first
+        validated rewrite's scope IS that historical layout (every
+        write path passes the same scope the old code bucketed by),
+        so backfill ``bucket_cols`` from it: the caller commits the
+        manifest it validated, making the migration durable one-time.
+        """
+        layout = m.get("bucket_cols")
+        if layout is None:
+            m["bucket_cols"] = list(scope)
+            return
         if list(scope) != list(layout):
             raise ValueError(
                 f"scope {list(scope)} does not match table bucket layout "
@@ -415,6 +443,11 @@ class LakeTable:
         new_files = self._write_bucket_files(self.with_bucket(df), commit_id)
         m["files"] = new_files
         m["segments"] = []
+        # overwrite rewrites EVERY bucket with _bucket_expr()'s hash —
+        # record that layout on legacy manifests lacking bucket_cols so
+        # a later _check_layout_scope backfill can't stamp a different
+        # scope than the bytes on disk are hashed by
+        m.setdefault("bucket_cols", m["key_cols"])
         if batch_id is not None:
             m["last_committed_batch_id"][writer_id] = batch_id
         self._commit(base, m)
@@ -543,24 +576,47 @@ class LakeTable:
                 batch.select(*table_cols, BUCKET_COL)
             )
         elif mode == "update":
-            # modify-only: batch rows whose ROW KEY exists replace the
-            # old row; unknown keys are ignored like SQL UPDATE
-            # (PostgreSqlDatabaseDialect update path, insert.mode=update).
-            # Matching is on key_cols (row PK); bucketing stays on
-            # ``scope`` so the layout matches every other write path.
+            # modify-only: every OLD row whose row key appears in the
+            # batch is rewritten with the winning batch image's values —
+            # SQL UPDATE modifies EACH matching row, so duplicate base
+            # rows (earlier insert-mode history) keep their multiplicity
+            # instead of collapsing to one winner (r3 advisory); unknown
+            # keys are silently ignored (PostgreSqlDatabaseDialect
+            # update path, insert.mode=update).  Matching is on
+            # key_cols (row PK); bucketing stays on ``scope`` so the
+            # layout matches every other write path.
+            from ..operators.lww import lww_reduce_agg
+
             keys = m["key_cols"]
-            existing = old.select(*keys).distinct()
-            updatable = batch.join(existing, on=keys, how="left_semi")
-            keep_old = old.join(
-                updatable.select(*keys).distinct(), on=keys, how="left_anti"
+            sc = seq_col or SEQ_COL
+            winner = lww_reduce_agg(batch, keys, [sc])
+            is_del_w = (
+                F.coalesce(F.col(delete_col), F.lit(False))
+                if delete_col is not None and delete_col in batch.columns
+                else F.lit(False)
             )
-            inserts = updatable
-            if delete_col is not None and delete_col in batch.columns:
-                inserts = inserts.filter(
-                    ~F.coalesce(F.col(delete_col), F.lit(False))
+            val_cols = [c for c in table_cols if c not in keys]
+            winner_vals = winner.select(
+                *keys,
+                is_del_w.alias("__w_del"),
+                *[F.col(c).alias(f"__u_{c}") for c in val_cols],
+            )
+            keep_old = old.join(
+                winner_vals.select(*keys), on=keys, how="left_anti"
+            )
+            # inner join on the row key preserves old-row multiplicity;
+            # a winning tombstone drops all matching rows (DELETE)
+            updated = (
+                old.join(winner_vals, on=keys, how="inner")
+                .filter(~F.col("__w_del"))
+                .select(
+                    *keys,
+                    *[F.col(f"__u_{c}").alias(c) for c in val_cols],
+                    F.col(BUCKET_COL),
                 )
+            )
             new_state = keep_old.select(*table_cols, BUCKET_COL).unionByName(
-                inserts.select(*table_cols, BUCKET_COL)
+                updated.select(*table_cols, BUCKET_COL)
             )
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -680,18 +736,40 @@ class LakeTable:
     def compact(self) -> dict:
         """Fold delta segments into the base (the maintenance half of
         merge-on-read — Iceberg's rewrite_data_files).  Read
-        amplification returns to zero; safe to run any time."""
+        amplification returns to zero; safe to run any time.
+
+        Bucket-scoped (r3 review): only buckets referenced by a delta
+        segment are read + rewritten — untouched base buckets keep
+        their existing files byte-for-byte.  Sound because every
+        reconcile is bucket-local: rows joinable by the reconcile keys
+        (scope for replace, row PK for lww/update — both hash-equal
+        under the recorded ``bucket_cols`` layout, which every segment
+        commit validates) always share a bucket, so a bucket with no
+        delta files reconciles to exactly its base rows.  At 100 TB
+        this turns the one remaining O(table) maintenance pass into
+        O(delta-touched buckets)."""
         m = self.manifest()
-        if not m.get("segments"):
+        segments = m.get("segments")
+        if not segments:
             return {"skipped": True, "reason": "no segments"}
         base = self._current_version()
-        state = self.read()  # reconciled, carries BUCKET_COL
+        touched = sorted({int(b) for seg in segments for b in seg["files"]})
+        state = self.read(buckets=touched)  # reconciled, carries BUCKET_COL
         commit_id = uuid.uuid4().hex[:12]
         new_files = self._write_bucket_files(state, commit_id)
-        m["files"] = new_files
+        files = dict(m["files"])
+        for tb in touched:
+            files.pop(str(tb), None)
+        for b_, fl in new_files.items():
+            files[b_] = fl
+        m["files"] = files
         m["segments"] = []
         self._commit(base, m)
-        return {"skipped": False, "version": m["version"]}
+        return {
+            "skipped": False,
+            "version": m["version"],
+            "touched_buckets": len(touched),
+        }
 
     def delete_where_keys(
         self,

@@ -112,6 +112,45 @@ def flatten_table(
     return out.select(*select)
 
 
+def has_rows_expr(spec: TableSpec, value_col: str = "value") -> Column:
+    """Boolean column: does ``flatten_table`` yield ≥1 row for this
+    envelope's value?
+
+    Mirrors the chain navigation and null-item guards above as a pure
+    expression (JVM-side ``exists`` higher-order functions, no explode,
+    no shuffle): an ARRAY contributes rows iff it has a non-null element
+    whose residual chain does; a MAP iff it has any entry whose VALUE's
+    residual chain does (``explode_outer`` guards only the never-null
+    entry key, so a null map value with no deeper generator still
+    yields a row); a null/absent container contributes nothing.
+
+    Used by the CDC apply to derive the shrunk-to-empty scope set —
+    whole-image replacement must still delete the child rows of an
+    array that shrank to empty/null (``BufferedRecords.java:264-270``)
+    even though the new image flattens to ZERO child rows — without
+    writing a scope-marker row per envelope through the sink (r3
+    review: the markers cost ~1.2 s/batch on the sf0.1 replay)."""
+
+    def rest(cur: Column, idx: int) -> Column:
+        if idx >= len(spec.chain):
+            return F.lit(True)
+        cont = spec.chain[idx]
+        src = cur if cont.is_element else cur.getField(cont.name)
+        if cont.kind == STRUCT:
+            return rest(src, idx + 1)
+        if cont.kind == ARRAY:
+            return F.coalesce(
+                F.exists(src, lambda x: x.isNotNull() & rest(x, idx + 1)),
+                F.lit(False),
+            )
+        return F.coalesce(
+            F.exists(F.map_values(src), lambda v: rest(v, idx + 1)),
+            F.lit(False),
+        )
+
+    return rest(F.col(value_col), 1)
+
+
 def flatten_records(
     df: DataFrame,
     plan: FlattenPlan,

@@ -38,8 +38,8 @@ from pyspark.sql import types as T
 from pyspark.errors.exceptions.captured import AnalysisException
 
 from ..lake.table import BUCKET_COL, MOR_DELETE_COL, SEQ_COL, LakeTable
-from ..plans.flatten_plan import FlattenPlan, TableSpec
-from .explode import flatten_table
+from ..plans.flatten_plan import ARRAY, MAP, FlattenPlan, TableSpec
+from .explode import flatten_table, has_rows_expr
 from .lww import lww_reduce_auto
 
 DELETE_COL = "__is_delete"
@@ -326,9 +326,21 @@ class CdcApplier:
         stats = {}
         for name in foreign:
             table = LakeTable(self.spark, os.path.join(self.warehouse, name))
-            stats[name] = table.delete_where_keys(
-                keys_df, scope, batch_id=batch_id, writer_id=name + writer_suffix
-            )
+            # per-table error isolation (r3 advisory): this fan-out runs
+            # AFTER the main tables' segments are durably committed, so
+            # an incompatible foreign table (layout mismatch, corrupt
+            # manifest) raising here would crash-loop the stream — on
+            # retry the main tables skip via the batch ledger and the
+            # foreign call re-raises forever.  Surface the failure in
+            # stats instead; the table's own ledger wasn't stamped, so
+            # a later batch's tombstones (or an operator fix) retry it.
+            try:
+                stats[name] = table.delete_where_keys(
+                    keys_df, scope, batch_id=batch_id,
+                    writer_id=name + writer_suffix,
+                )
+            except Exception as e:  # noqa: BLE001 — isolate per table
+                stats[name] = {"error": f"{type(e).__name__}: {e}"}
         return stats
 
     def _apply_insert(
@@ -427,14 +439,17 @@ class CdcApplier:
         """Flattened upsert rows ∪ scope marker rows for one table.
 
         Marker rows (key PKs + nulls, flagged for delete) come from
-        tombstones AND from every upsert envelope: whole-image
-        replacement is delete-then-insert
-        (``BufferedRecords.java:264-270``), and an upsert whose array
-        shrank to EMPTY/null flattens to ZERO child rows — without its
-        marker the child table's old rows would never be scoped for
-        deletion (r3 review: the stale-child bug; the delete-marker
-        filter removes the markers on read, so envelopes that DO
-        produce rows are unaffected)."""
+        tombstones AND from upsert envelopes that flatten to ZERO rows
+        for this table: whole-image replacement is delete-then-insert
+        (``BufferedRecords.java:264-270``), so an upsert whose array
+        shrank to EMPTY/null must still scope the child table's old
+        rows for deletion (r3 review: the stale-child bug).  The
+        zero-row set is derived by the ``has_rows_expr`` predicate — a
+        scan-local column expression mirroring the explode chain — so
+        only actually-shrunk envelopes pay a marker row, instead of
+        every envelope writing one through the sink (r3 "Next round"
+        #1: the blanket markers cost ~1.2 s/batch at sf0.1 and, being
+        filtered on every read, taxed reads too)."""
         flat = flatten_table(upserts, spec, carry_cols=("seq",)).withColumn(
             DELETE_COL, F.lit(False)
         )
@@ -443,13 +458,12 @@ class CdcApplier:
             F.col("seq"),
             F.lit(True).alias(DELETE_COL),
         )
-        if spec.chain:
-            # only container tables can flatten an envelope to ZERO
+        if any(c.kind in (ARRAY, MAP) for c in spec.chain):
+            # only generator tables can flatten an envelope to ZERO
             # rows (the root table yields exactly one row per image,
-            # so its scope is always present); markers for every
-            # envelope on the root would be pure per-batch overhead
+            # so its scope is always present in `flat`)
             del_rows = del_rows.unionByName(
-                upserts.select(
+                upserts.filter(~has_rows_expr(spec)).select(
                     *self._key_exprs(spec),
                     F.col("seq"),
                     F.lit(True).alias(DELETE_COL),

@@ -102,7 +102,9 @@ def lint_oracle_sql(sql: str) -> list[str]:
                 depth -= 1
             i += 1
         arg = sql[m.end() : i - 1]
-        if "/" in arg and "//" not in arg and "DOUBLE" not in arg.upper():
+        # strip floor-div `//` tokens FIRST: an argument mixing `//`
+        # with a separate bare `/` must still be flagged (r3 advisory)
+        if "/" in arg.replace("//", "") and "DOUBLE" not in arg.upper():
             problems.append("bare `/` division inside FLOOR argument")
     return problems
 

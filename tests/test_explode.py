@@ -180,3 +180,70 @@ def test_deep_nesting_struct_under_array(spark):
     assert [(r.supporttype, r.id) for r in staff] == [
         ("marketing", "232323"), ("sales", "3442"),
     ]
+
+
+def test_has_rows_expr_matches_flatten_exactly(spark):
+    """The shrunk-to-empty marker derivation (CdcApplier._batch_rows)
+    replaces per-envelope marker rows with ``has_rows_expr`` — a pure
+    column predicate that must agree EXACTLY with flatten_table's row
+    production for every generator table, or stale children survive
+    (false negative) / markers churn (false positive).  Exercises:
+    null/empty/`[None]` arrays, nested array-in-array-element, maps
+    with null values (with and without deeper generators), empty maps,
+    and mixed elements where only one satisfies the residual chain."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_jdbc_flatten_spark.operators.explode import (
+        flatten_table,
+        has_rows_expr,
+    )
+    from kafka_connect_jdbc_flatten_spark.plans.flatten_plan import ARRAY, MAP
+
+    inner = T.StructType(
+        [T.StructField("b", T.ArrayType(T.IntegerType(), True), True)]
+    )
+    value_type = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("arr", T.ArrayType(inner, True), True),
+            T.StructField("m", T.MapType(T.StringType(), inner, True), True),
+            T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+            T.StructField(
+                "m2", T.MapType(T.StringType(), T.StringType(), True), True
+            ),
+        ]
+    )
+    rows = [
+        ("t", 0, 1, TS, "CreateTime", 1, (1, None, None, None, None)),
+        ("t", 0, 2, TS, "CreateTime", 2, (2, [], {}, [], {})),
+        ("t", 0, 3, TS, "CreateTime", 3, (3, [(None,)], None, None, None)),
+        ("t", 0, 4, TS, "CreateTime", 4, (4, [([],)], None, None, None)),
+        ("t", 0, 5, TS, "CreateTime", 5, (5, [([1, 2],)], None, None, None)),
+        ("t", 0, 6, TS, "CreateTime", 6, (6, [None], None, None, None)),
+        ("t", 0, 7, TS, "CreateTime", 7, (7, [([None],)], None, None, None)),
+        ("t", 0, 8, TS, "CreateTime", 8, (8, None, {"k": ([3],)}, None, None)),
+        ("t", 0, 9, TS, "CreateTime", 9, (9, None, {"k": None}, None, None)),
+        ("t", 0, 10, TS, "CreateTime", 10, (10, None, None, ["a", None], None)),
+        ("t", 0, 11, TS, "CreateTime", 11, (11, None, None, [None], None)),
+        ("t", 0, 12, TS, "CreateTime", 12, (12, None, None, None, {"k": None})),
+        ("t", 0, 13, TS, "CreateTime", 13, (13, None, None, None, {})),
+        ("t", 0, 14, TS, "CreateTime", 14, (14, [([],), ([7],)], None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, changelog_schema(T.LongType(), value_type))
+    plan = compile_flatten_plan(
+        None, value_type, FlattenConfig(topic="t"), value_record_name="rec"
+    )
+    from kafka_connect_jdbc_flatten_spark.operators.explode import flatten_table
+
+    gen_tables = [
+        s for s in plan.tables if any(c.kind in (ARRAY, MAP) for c in s.chain)
+    ]
+    assert len(gen_tables) >= 4  # arr/b, m/b, tags, m2 chains all present
+    for spec in plan.tables:
+        flat = flatten_table(df, spec, carry_cols=("offset",))
+        produced = {r["offset"] for r in flat.select("offset").distinct().collect()}
+        predicted = {
+            r["offset"]
+            for r in df.filter(has_rows_expr(spec)).select("offset").collect()
+        }
+        assert predicted == produced, (spec.table_name, predicted, produced)

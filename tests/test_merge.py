@@ -507,3 +507,48 @@ def test_upsert_empty_array_wipes_child_rows(spark, plan, tmp_path):
     for t in ap.tables.values():
         t.compact()
     assert {r.conv_id for r in ap.read("transcripts_conversation_turns").collect()} == {"c2"}
+
+
+def test_incompatible_foreign_table_cannot_wedge_the_pipeline(spark, plan, tmp_path):
+    """r3 advisory: the foreign-tombstone fan-out runs AFTER the main
+    tables' segments are durably committed; a foreign table whose
+    layout is incompatible with the key scope must surface an error in
+    the stats instead of raising — a raise would crash-loop the stream
+    (main tables skip via the batch ledger on every retry, the foreign
+    call re-raises forever)."""
+    from kafka_connect_jdbc_flatten_spark.lake.table import SEQ_COL, LakeTable
+
+    wh = tmp_path / "wh"
+    ap = CdcApplier(spark, str(wh), plan, n_buckets=4)
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("other", T.LongType(), True),
+        T.StructField(SEQ_COL, T.LongType(), True),
+    ])
+    # same topic, but bucketed by a DIFFERENT layout key than the
+    # tombstone scope ["conv_id"] — delete_where_keys raises on it
+    bad = LakeTable.create(
+        spark, str(wh / "transcripts_conversation_bad"), schema,
+        ["other"], n_buckets=4, properties={"topic": "transcripts"},
+    )
+    bad.merge(
+        spark.createDataFrame([("c1", 7, 1)], schema), mode="replace",
+        scope_keys=["other"], batch_id=0,
+    )
+
+    ap.apply_batch(
+        mkdf(spark, [env("c1", [(0, "u", "a", "")], "c", 1),
+                     env("c2", [(0, "u", "b", "")], "c", 2)]),
+        batch_id=0,
+    )
+    stats = ap.apply_batch(mkdf(spark, [env("c1", None, "d", 3)]), batch_id=1)
+    # the main tables applied the tombstone...
+    assert {
+        r.conv_id for r in ap.read("transcripts_conversation").collect()
+    } == {"c2"}
+    # ...and the incompatible foreign table reported, not raised
+    bad_stats = stats["transcripts_conversation_bad"]
+    assert "error" in bad_stats and "bucket layout" in bad_stats["error"]
+    # its rows are untouched (operator intervention required)
+    assert bad.read().count() == 1

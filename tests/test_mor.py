@@ -331,10 +331,13 @@ def test_mor_update_reconcile_preserves_untouched_duplicates(spark, tmp_path):
     # compact preserves the same state
     t.compact()
     assert state(t) == [(1, "dup"), (1, "dup"), (2, "b2")]
-    # an update that DOES touch the duplicated key collapses it to the
-    # single winning image (key-level update semantics, documented)
+    # an update that DOES touch the duplicated key rewrites EACH
+    # matching row with the winning image — SQL UPDATE modifies every
+    # matched row, it never collapses multiplicity (r3 advisory)
     t.merge(mk(spark, [(1, "fixed", 3)]), mode="update", batch_id=2)
-    assert state(t) == [(1, "fixed"), (2, "b2")]
+    assert state(t) == [(1, "fixed"), (1, "fixed"), (2, "b2")]
+    t.compact()
+    assert state(t) == [(1, "fixed"), (1, "fixed"), (2, "b2")]
 
 
 def test_overwrite_bootstrap_respects_bucket_layout(spark, tmp_path):
@@ -367,4 +370,85 @@ def test_overwrite_bootstrap_respects_bucket_layout(spark, tmp_path):
         t.delete_where_keys(
             spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx long"),
             ["conv_id", "turn_idx"],
+        )
+
+
+def test_compact_is_bucket_scoped(spark, tmp_path):
+    """r3 review: compact() must rewrite ONLY buckets referenced by a
+    delta segment — untouched base buckets keep their files (same
+    paths, never rewritten).  At 100 TB this is the difference between
+    an O(delta) and an O(table) maintenance pass."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=8)
+    t.merge(mk(spark, [(i, f"v{i}", 1) for i in range(16)]), mode="lww", batch_id=0)
+    t.compact()
+    before = dict(t.manifest()["files"])
+    assert len(before) > 2  # spread over several buckets
+    t.merge(mk(spark, [(1, "v1b", 2)]), mode="lww", batch_id=1)
+    touched = {b for seg in t.manifest()["segments"] for b in seg["files"]}
+    st = t.compact()
+    assert st["touched_buckets"] == len(touched)
+    after = t.manifest()["files"]
+    assert set(after) == set(before)
+    for b, fl in before.items():
+        if b in touched:
+            assert after[b] != fl
+        else:
+            assert after[b] == fl  # identical paths ⇒ files untouched
+    assert state(t) == sorted(
+        (i, "v1b" if i == 1 else f"v{i}") for i in range(16)
+    )
+    # and the layout guard still rejects a mismatched rewrite scope
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket layout"):
+        t.merge(mk(spark, [(1, "x", 3)]), mode="lww", scope_keys=["v"], batch_id=2)
+
+
+def test_legacy_manifest_backfills_bucket_cols(spark, tmp_path):
+    """r3 advisory (medium): manifests from before ``bucket_cols``
+    existed were physically bucketed by the MERGE scope while
+    ``key_cols`` held the row PK — validating those tables against
+    key_cols bricked every CDC merge after an upgrade.  The first
+    validated rewrite must instead backfill bucket_cols from its scope
+    and succeed."""
+    import json
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("i", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField(SEQ_COL, T.LongType(), True),
+        ]
+    )
+
+    def mk2(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # child-table shape: row PK (k, i) ⊃ key scope (k); physical layout = scope
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["k", "i"], n_buckets=4,
+        bucket_cols=["k"],
+    )
+    t.merge(mk2([(1, 0, "a", 1), (1, 1, "b", 1)]), mode="replace",
+            scope_keys=["k"], batch_id=0)
+    # strip bucket_cols in place, like a manifest written by the old code
+    v = t._current_version()
+    mp = os.path.join(t._manifest_dir, f"v{v}.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["bucket_cols"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert "bucket_cols" not in t.manifest()
+    # pre-fix this raised ValueError (scope ["k"] vs key_cols ["k","i"])
+    t.merge(mk2([(1, 0, "a2", 2)]), mode="replace", scope_keys=["k"], batch_id=1)
+    assert t.manifest()["bucket_cols"] == ["k"]
+    assert sorted((r.k, r.i, r.v) for r in t.read().collect()) == [(1, 0, "a2")]
+    # subsequent mismatched scopes are rejected against the backfill
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket layout"):
+        t.delete_where_keys(
+            mk2([(1, 0, None, 3)]).select("k", "i"), ["k", "i"], batch_id=2
         )
