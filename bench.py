@@ -34,6 +34,23 @@ N_MICROBATCHES = int(os.environ.get("BENCH_MICROBATCHES", "4"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
+def calibrate() -> float:
+    """Fixed single-thread CPU probe (md5 over 64 MiB): on a loaded
+    host the probe slows proportionally, so a noisy rep is flagged
+    IN-BAND (r3 verdict #7) — readers compare each rep's query times
+    against its calibration instead of inferring host load post-hoc.
+    ~0.05-0.1 s on an idle core."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(buf)
+    h.hexdigest()
+    return round(time.time() - t0, 4)
+
+
 def get_spark():
     from pyspark.sql import SparkSession
 
@@ -115,7 +132,9 @@ def main():
 
         final_rows = flat_rows = 0
         runs: list[dict[str, float]] = []
+        calibration: list[float] = []
         for rep in range(REPS):
+            calibration.append(calibrate())
             rq: dict[str, float] = {}
             wh = os.path.join(tmp, f"wh{rep}")
             applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
@@ -178,6 +197,11 @@ def main():
                     # per-rep raw times (r02 verdict #7): lets a reader
                     # separate real plan wins from best-of-N selection
                     "runs": runs,
+                    # per-rep host-load probe (r3 verdict #7): the same
+                    # fixed md5 loop timed before each rep — a rep with
+                    # calibration ≫ min(calibration) ran on a loaded
+                    # host and its times should be discounted
+                    "calibration": calibration,
                     "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                     "cpus": CPUS,
                     "reps": REPS,

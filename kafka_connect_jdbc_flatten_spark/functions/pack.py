@@ -126,10 +126,16 @@ def pack_windows(
 ) -> DataFrame:
     """Window-slice emitter: one row per (document, training window)
     with the token sub-range of the doc inside that window —
-    ``(shard, win_idx, doc_id, tok_start, tok_end)`` (``tok_start``
-    inclusive, ``tok_end`` exclusive, doc-relative).  This is exactly
-    what a training loader joins against the tokenized corpus to
-    assemble fixed-length batches without re-scanning documents.
+    ``(shard, win_idx, doc_id, win_start, tok_start, tok_end)``
+    (``tok_start`` inclusive, ``tok_end`` exclusive, doc-relative;
+    ``win_start`` = where the slice begins INSIDE the window, so a
+    loader can place slices order-free: slice ``[tok_start, tok_end)``
+    of the doc lands at window positions ``[win_start, win_start +
+    tok_end - tok_start)``, and each window's slices tile
+    ``[0, max_tokens)`` exactly — r3 review: without it assembly
+    required re-deriving the (sub, doc_id) stream order).  This is
+    exactly what a training loader joins against the tokenized corpus
+    to assemble fixed-length batches without re-scanning documents.
 
     Derivation is pure integer arithmetic on the manifest: a doc
     occupying windows ``first..last`` contributes, for window w,
@@ -160,6 +166,7 @@ def pack_windows(
         "shard",
         "win_idx",
         "doc_id",
+        (start_abs - win * max_tokens).cast("long").alias("win_start"),
         (start_abs - F.col("tok_offset")).cast("long").alias("tok_start"),
         (end_abs - F.col("tok_offset")).cast("long").alias("tok_end"),
     )
@@ -230,6 +237,8 @@ WITH manifest AS ({manifest})
 SELECT shard,
        CAST(w.win_idx AS BIGINT) AS win_idx,
        doc_id,
+       CAST(GREATEST(w.win_idx * {max_tokens}, tok_offset)
+            - w.win_idx * {max_tokens} AS BIGINT) AS win_start,
        CAST(GREATEST(w.win_idx * {max_tokens}, tok_offset)
             - tok_offset AS BIGINT) AS tok_start,
        CAST(LEAST((w.win_idx + 1) * {max_tokens}, tok_offset + n_tokens)

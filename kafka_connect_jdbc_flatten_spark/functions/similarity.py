@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 
 from .util import spread
 
+# the Arrow all-pairs kernel collects the (id, vec) table to the driver
+# and broadcasts it; this caps the estimated matrix bytes (mirrors the
+# MOR reconcile's delta-bytes broadcast guard, lake/table.py) — beyond
+# it the kernel refuses and points at the LSH scale path
+ARROW_ALLPAIRS_MATRIX_BYTES = 256 * 1024 * 1024
+
 
 def _round_half_up(arr, dp: int):
     """HALF_UP rounding matching Spark ``F.round`` and DuckDB
@@ -250,9 +256,12 @@ def embedding_neardup_pairs(
     ``impl="arrow"`` computes the pair scores as Arrow-batch × full-
     matrix numpy GEMMs instead of the per-pair JVM fold — ~10×
     faster on the same quadratic contract.  The full (id, vec) matrix
-    rides the task closure, so one side must fit in executor memory —
-    no worse than the quadratic contract itself, which already caps n
-    at candidate-block scale.  The DuckDB gate stays on ``expr``
+    is shipped once per executor via ``sparkContext.broadcast`` behind
+    a driver-side byte guard (``ARROW_ALLPAIRS_MATRIX_BYTES``, same
+    pattern as the MOR reconcile's delta-bytes cap): a table over the
+    cap raises with guidance toward ``embedding_neardup_pairs_lsh``
+    instead of silently collecting a data-plane table to the driver
+    (r3 review).  The DuckDB gate stays on ``expr``
     (summation-order-exact vs ``list_dot_product``).
     """
     if impl == "arrow":
@@ -296,22 +305,41 @@ def _embedding_neardup_pairs_arrow(
     id_type = embeddings.schema[id_col].dataType.simpleString()
     out_schema = f"id1 {id_type}, id2 {id_type}, cos double"
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    if not rows:
+    # byte-guard BEFORE collecting: one narrow aggregate bounds the
+    # matrix size (n rows × dim float64 + id slack).  Without it an
+    # oversized table OOMs the driver — the exact hazard class the LWW
+    # broadcast guard and the MOR delta-bytes cap close elsewhere.
+    probe = embeddings.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("dim")
+    ).head()
+    n, dim = probe["n"] or 0, probe["dim"] or 0
+    if n == 0:
         return embeddings.sparkSession.createDataFrame([], out_schema)
-    # prebuilt ndarrays in the closure (compact pickle, no per-task
-    # list→array re-parse)
+    est_bytes = n * (dim * 8 + 64)
+    if est_bytes > ARROW_ALLPAIRS_MATRIX_BYTES:
+        raise ValueError(
+            f"impl='arrow' all-pairs would collect ~{est_bytes >> 20} MiB "
+            f"(n={n}, dim={dim}) of embeddings to the driver, over the "
+            f"{ARROW_ALLPAIRS_MATRIX_BYTES >> 20} MiB cap — this exact "
+            "quadratic kernel is for candidate-block scale only; use "
+            "embedding_neardup_pairs_lsh (bucketed candidate generation "
+            "+ exact verify) at table scale, or impl='expr'"
+        )
+    rows = embeddings.select(id_col, vec_col).collect()
     aid = np.asarray([r[0] for r in rows])
     A = np.asarray(
         [[float(x) for x in r[1]] for r in rows], dtype=np.float64
     )
     an = np.linalg.norm(A, axis=1)
     an[an == 0] = 1.0
+    # one torrent-broadcast copy per executor, not one per task closure
+    bc = embeddings.sparkSession.sparkContext.broadcast((aid, A, an))
 
     def score_batches(batches):
         import numpy as np
         import pandas as pd
 
+        aid, A, an = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -398,6 +398,19 @@ def test_pack_windows_slices_and_duckdb_parity(spark):
             assert tot == 128, (s, w, tot)
         else:
             assert 0 < tot <= 128
+    # (b2) window-relative placement (r3 review): within each window,
+    # slices ordered by win_start tile [0, fill) contiguously from 0 —
+    # a loader can place slices with NO knowledge of the stream order
+    per_win: dict = {}
+    for r in wins:
+        per_win.setdefault((r.shard, r.win_idx), []).append(r)
+    for (s, w), rows in per_win.items():
+        rows.sort(key=lambda r: r.win_start)
+        pos = 0
+        for r in rows:
+            assert r.win_start == pos, (s, w, r)
+            pos += r.tok_end - r.tok_start
+        assert pos == fill[(s, w)]
     # (c) DuckDB parity
     con = _dd.connect()
     con.execute(

@@ -500,3 +500,60 @@ def test_oracle_lint_window_sum_inner_cast_and_nearby_cast():
         "reserved" in p
         for p in lint_oracle_sql("SELECT x AS left FROM t")
     )
+
+
+def test_arrow_allpairs_collect_is_byte_guarded(spark, monkeypatch):
+    """r3 review: the Arrow all-pairs kernel collects the embeddings
+    table to the driver — a table over the byte cap must raise with
+    guidance toward the LSH scale path instead of OOMing the driver;
+    under the cap results are unchanged (and the matrix ships via
+    sparkContext.broadcast, once per executor)."""
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expect = sorted(
+        tuple(r)
+        for r in SIM.embedding_neardup_pairs(
+            emb, threshold=0.4, impl="arrow"
+        ).collect()
+    )
+    assert len(expect) > 0
+    monkeypatch.setattr(SIM, "ARROW_ALLPAIRS_MATRIX_BYTES", 0)
+    with pytest.raises(ValueError, match="embedding_neardup_pairs_lsh"):
+        SIM.embedding_neardup_pairs(emb, threshold=0.4, impl="arrow")
+    monkeypatch.setattr(SIM, "ARROW_ALLPAIRS_MATRIX_BYTES", 1 << 30)
+    again = sorted(
+        tuple(r)
+        for r in SIM.embedding_neardup_pairs(
+            emb, threshold=0.4, impl="arrow"
+        ).collect()
+    )
+    assert again == expect
+
+
+def test_decode_image_real_png_when_pil_available(spark):
+    """r3 review: decode_image is honestly stubbed behind the PIL
+    guard — this test self-verifies the kernel the moment the
+    dependency lands in the container (skipped until then).  Generates
+    a real PNG in-process, runs the Arrow mapInPandas decode, and
+    checks width/height/mode."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import decode_image
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (250, 128, 3)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png_bytes(8, 6))), (2, bytearray(png_bytes(3, 5)))],
+        "doc_id long, blob binary",
+    )
+    got = {r.doc_id: (r.width, r.height, r.mode) for r in decode_image(df).collect()}
+    assert got == {1: (8, 6, "RGB"), 2: (3, 5, "RGB")}
