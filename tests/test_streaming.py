@@ -432,3 +432,126 @@ def test_tombstone_under_old_schema_wipes_newer_schema_child_table(
     # parent wiped too
     parent = ing.read("evt_evt")
     assert parent.filter(F.col("event_id") % 3 == 0).count() == 0
+
+
+def test_drift_restart_gc_and_cross_fingerprint_tombstones(spark, tmp_path):
+    """r3 stretch: kill SchemaDriftIngest between a fingerprint's first
+    batch and its maintain(), resume from checkpoint in a FRESH process
+    (empty applier dict), and let maintenance run while only the OLD
+    fingerprint is resident — the GC live-set (discovered from disk,
+    r3 fix) must protect the non-resident fingerprint's still-pending
+    segment files.  Then tombstone keys whose tables span both
+    fingerprints and verify the fan-out still wipes the newer
+    fingerprint's child table after the restart."""
+    import dataclasses
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_jdbc_flatten_spark.lake.table import LakeTable
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        to_schema_carrying,
+    )
+    from kafka_connect_jdbc_flatten_spark.streaming.pipeline import (
+        SchemaDriftIngest,
+    )
+
+    old_env, old_schema = _evt_envelopes(spark, with_text=False)
+    new_env, _ = _evt_envelopes(spark, with_text=True, with_tags=True)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    old_env.coalesce(1).write.parquet(str(feed / "chunk-00001"))
+    new_env.coalesce(1).write.parquet(str(feed / "chunk-00002"))
+
+    cfg = dataclasses.replace(_drift_cfg(), delete_enabled=True)
+    kw = dict(
+        value_record_name="Evt", key_record_name="EvtKey", n_buckets=4,
+        max_files_per_trigger=1,
+    )
+    # process 1: NO maintenance (killed before the new fingerprint's
+    # first maintain) — the tags child table's segments stay pending
+    # in the shared _commits/ dir
+    ing1 = SchemaDriftIngest(
+        spark, str(feed), str(tmp_path / "wh"), cfg, T.LongType(),
+        str(tmp_path / "ckpt"), compact_every=None, **kw,
+    )
+    ing1.run_available(timeout_sec=300)
+    child = [t for t in os.listdir(tmp_path / "wh") if t.endswith("_tags")]
+    assert child, os.listdir(tmp_path / "wh")
+    tags_tbl = LakeTable(spark, str(tmp_path / "wh" / child[0]))
+    assert tags_tbl.manifest().get("segments"), "expected pending segments"
+
+    # chunk 3: OLD-schema re-images of every even key (no deletes, so
+    # the foreign fan-out does not compact the tags table first)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    big = 10**9
+    upd = to_schema_carrying(
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            F.lit("evt").alias("topic"),
+            F.pmod("event_id", F.lit(2)).cast("int").alias("partition"),
+            (F.col("event_id") + big // 2).alias("offset"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit("CreateTime").alias("timestamp_type"),
+            F.col("event_id").alias("key"),
+            F.struct(
+                F.col("event_id"), F.lit("upd").alias("role")
+            ).alias("value"),
+            F.lit("u").alias("op"),
+            (F.col("event_id") + big // 2).cast("long").alias("seq"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        ),
+        old_schema,
+    )
+    upd.coalesce(1).write.parquet(str(feed / "chunk-00003"))
+    # chunk 4: OLD-schema tombstones for every key % 3 == 0 (both
+    # parities — odd keys' tables exist only under the NEW fingerprint)
+    tomb = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.lit("evt").alias("topic"),
+        F.pmod("event_id", F.lit(2)).cast("int").alias("partition"),
+        (F.col("event_id") + big).alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit("CreateTime").alias("timestamp_type"),
+        F.col("event_id").alias("key"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(old_schema.json()).alias("value_schema"),
+        F.lit("d").alias("op"),
+        (F.col("event_id") + big).cast("long").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    tomb.coalesce(1).write.parquet(str(feed / "chunk-00004"))
+
+    # process 2: fresh instance (empty applier dict), same checkpoint,
+    # maintenance EVERY batch — chunk 3's batch instantiates ONLY the
+    # old fingerprint's applier, and its maintain() runs while the tags
+    # segments are pending
+    ing2 = SchemaDriftIngest(
+        spark, str(feed), str(tmp_path / "wh"), cfg, T.LongType(),
+        str(tmp_path / "ckpt"), compact_every=1, **kw,
+    )
+    ing2.run_available(timeout_sec=300)
+    assert len(ing2.appliers) == 1, "only the old fingerprint was re-seen"
+
+    # every manifest-referenced tags file survived the resident-set GC
+    m = tags_tbl.manifest()
+    referenced = [f for fl in m["files"].values() for f in fl] + [
+        f for s in m.get("segments", []) for fl in s["files"].values() for f in fl
+    ]
+    missing = [f for f in referenced if not os.path.exists(f)]
+    assert not missing, missing[:5]
+
+    odds_kept = ev.filter(
+        (F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 != 0)
+    ).count()
+    evens_kept = ev.filter(
+        (F.col("event_id") % 2 == 0) & (F.col("event_id") % 3 != 0)
+    ).count()
+    tags = tags_tbl.read()
+    assert tags.filter(F.col("event_id") % 3 == 0).count() == 0
+    assert tags.count() == 2 * odds_kept
+    parent = ing2.read("evt_evt")
+    assert parent.filter(F.col("event_id") % 3 == 0).count() == 0
+    assert parent.count() == odds_kept + evens_kept
+    # the post-restart re-image applied (whole-image LWW across restart)
+    assert parent.filter(
+        (F.col("event_id") % 2 == 0) & (F.col("role") != "upd")
+    ).count() == 0
