@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from kafka_connect_jdbc_flatten_spark.config import FlattenConfig
 from kafka_connect_jdbc_flatten_spark.functions import cluster as CL
 from kafka_connect_jdbc_flatten_spark.functions import corpus as CORPUS
+from kafka_connect_jdbc_flatten_spark.functions import decontam as DECON
 from kafka_connect_jdbc_flatten_spark.functions import dedup as D
 from kafka_connect_jdbc_flatten_spark.functions import pack as PK
 from kafka_connect_jdbc_flatten_spark.functions import sample as SMP
@@ -1124,6 +1125,84 @@ CORPUS_PREP_SQL = CORPUS.corpus_keep_sql(
 )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥1 distinct
+    word-8-gram with the held-out set (deterministic subset
+    doc_id % 53 == 0 stands in for an eval benchmark).  Bench gram-set
+    broadcast + scan-local doc-side explode — no corpus-wide shuffle
+    (functions/decontam.py)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    return DECON.contaminated_docs(docs, bench, "text", "doc_id", n=8)
+
+
+DECONTAMINATE_SQL = DECON.contaminated_docs_sql(
+    "documents",
+    "SELECT text FROM documents WHERE doc_id % 53 = 0",
+    "text",
+    "doc_id",
+    n=8,
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email / IPv4 / phone patterns with identical Java-
+    regex and RE2 semantics): the corpus text is deterministically
+    seeded with synthetic PII (the testdata contains none), then
+    redacted; n_pii counts spans pattern-by-pattern on the
+    progressively redacted text.  Pure codegen'd regexp chain —
+    scan-local, no shuffle, no Python."""
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        TX.redact_pii("text").alias("redacted"),
+        TX.pii_count("text").alias("n_pii"),
+    )
+
+
+_PII_SEEDED = (
+    "(text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or +1 555-000-' || CAST(doc_id AS VARCHAR) || "
+    "' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7')"
+)
+PII_REDACTION_SQL = f"""
+SELECT doc_id,
+       {TX.redact_pii_sql(_PII_SEEDED)} AS redacted,
+       {TX.pii_count_sql(_PII_SEEDED)} AS n_pii
+FROM documents
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token shares vs a target
+    mixture (src0 pinned to 30%, src1 to 20%, rest share the remaining
+    mass equally); weight = target/actual is the up/down-sampling
+    factor.  One map-side-combined aggregate + tiny-frame window
+    (functions/sample.py::mixture_weights)."""
+    docs = _read(spark, sf_dir, "documents")
+    return SMP.mixture_weights(
+        docs, "source", text_col="text", target={"src0": 0.3, "src1": 0.2}
+    )
+
+
+MIXTURE_WEIGHTS_SQL = SMP.mixture_weights_sql(
+    "documents", "source", text_col="text", target={"src0": 0.3, "src1": 0.2}
+)
+
+
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash("text").alias("simhash"))
@@ -1314,6 +1393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "sequence_windows": q_sequence_windows,
         "corpus_prep": q_corpus_prep,
+        "decontaminate": q_decontaminate,
+        "pii_redaction": q_pii_redaction,
+        "mixture_weights": q_mixture_weights,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1375,6 +1457,9 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": SEQUENCE_PACKING_SQL,
         "sequence_windows": SEQUENCE_WINDOWS_SQL,
         "corpus_prep": CORPUS_PREP_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
+        "pii_redaction": PII_REDACTION_SQL,
+        "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "simhash_values": f"SELECT doc_id, {D.simhash_sql('text')} AS simhash FROM documents",
         "dedup_simhash": D.simhash_neardup_pairs_sql(
             "documents", "text", "doc_id", max_hamming=3

@@ -98,3 +98,110 @@ def stratified_sample_sql(
         f"SELECT *, {stratum_expr} AS stratum, {bucket} AS bucket FROM {table}"
         f") WHERE bucket < {thr}"
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    tokens: Column | None = None,
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain sampling weights to hit a target token mixture —
+    the data-mixing step of a pretraining pipeline (DoReMi/Pile-style
+    domain reweighting, computed from corpus statistics).
+
+    Output: ``(domain, n_docs, n_tokens, actual_frac, target_frac,
+    weight)`` where ``weight = target_frac / actual_frac`` is the
+    per-domain sampling (or epoch-repeat) factor; weight > 1 means the
+    domain is under-represented and must be up-sampled.
+
+    ``target`` maps domain → desired token share; domains absent from
+    the map share the REMAINING mass equally.  With no map at all the
+    target is uniform over observed domains.  Fractions are rounded to
+    6 dp (engine-portable floats).
+
+    Scale shape: ONE map-side-combined aggregate over the corpus
+    (per-domain token sums — the shuffle moves one pair per domain per
+    task), then arithmetic over the tiny domain frame (a window over
+    ≤ thousands of rows).  The heavy input scan is the same scan a
+    token-count pass already does.
+    """
+    from .text import token_count_ws
+
+    toks = tokens if tokens is not None else token_count_ws(text_col)
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    if target:
+        fixed = sum(target.values())
+        named = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        n_rest = F.sum(
+            F.when(F.col("domain").isin(*target.keys()), 0).otherwise(1)
+        ).over(w)
+        tgt = F.coalesce(
+            F.element_at(named, F.col("domain")),
+            F.lit(max(0.0, 1.0 - fixed))
+            / F.greatest(n_rest, F.lit(1)).cast("double"),
+        )
+    else:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
+    actual = F.col("n_tokens").cast("double") / total.cast("double")
+    return per.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_frac"),
+        F.round(tgt, 6).alias("target_frac"),
+        F.round(tgt / actual, 6).alias("weight"),
+    )
+
+
+def mixture_weights_sql(
+    table: str,
+    domain_col: str,
+    tokens_expr: str | None = None,
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`mixture_weights` (same rounding)."""
+    from .text import token_count_ws_sql
+
+    toks = tokens_expr if tokens_expr is not None else token_count_ws_sql(text_col)
+    if target:
+        fixed = sum(target.values())
+        cases = " ".join(
+            f"WHEN domain = '{k}' THEN CAST({v} AS DOUBLE)"
+            for k, v in target.items()
+        )
+        in_list = ", ".join(f"'{k}'" for k in target)
+        rest = (
+            f"CAST(SUM(CASE WHEN domain IN ({in_list}) THEN 0 ELSE 1 END) "
+            f"OVER () AS BIGINT)"
+        )
+        tgt = (
+            f"(CASE {cases} ELSE CAST({max(0.0, 1.0 - fixed)} AS DOUBLE) / "
+            f"CAST(greatest({rest}, 1) AS DOUBLE) END)"
+        )
+    else:
+        tgt = "(CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))"
+    total = "CAST(SUM(n_tokens) OVER () AS BIGINT)"
+    return f"""
+WITH per AS (
+  SELECT {domain_col} AS domain, count(*)::BIGINT AS n_docs,
+         CAST(SUM(CAST({toks} AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+)
+SELECT domain, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / {total}, 6) AS actual_frac,
+       round({tgt}, 6) AS target_frac,
+       round({tgt} / (CAST(n_tokens AS DOUBLE) / {total}), 6) AS weight
+FROM per
+"""

@@ -324,3 +324,55 @@ def repetition_features_sql(col: str) -> dict[str, str]:
         "top_bigram_frac": top(2),
         "top_trigram_frac": top(3),
     }
+
+
+# --------------------------------------------------------- PII redaction
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark, JVM-side regexp_replace) and RE2 (DuckDB): character classes,
+# bounded repetition, \b word boundaries — no lookarounds/backrefs.
+# Applied in a fixed order (email → ipv4 → phone) on BOTH sides so the
+# oracle matches byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d"),
+)
+
+
+def redact_pii(col: Column | str, replacement: str = "<PII>") -> Column:
+    """Scrub email / IPv4 / phone-shaped spans from a text column —
+    the pre-training privacy pass.  Pure JVM-side ``regexp_replace``
+    chain: scan-local, codegen'd, no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
+def pii_count(col: Column | str) -> Column:
+    """Number of PII spans that :func:`redact_pii` would replace.
+    Counted pattern-by-pattern on the PROGRESSIVELY redacted text (a
+    phone-looking substring inside an email must not double-count),
+    mirroring the replace order exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for _name, pat in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, "<PII>")
+    return total.cast("long")
+
+
+def redact_pii_sql(col: str, replacement: str = "<PII>") -> str:
+    out = col
+    for _name, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{replacement}', 'g')"
+    return out
+
+
+def pii_count_sql(col: str) -> str:
+    parts = []
+    cur = col
+    for _name, pat in PII_PATTERNS:
+        parts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '<PII>', 'g')"
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

@@ -557,3 +557,163 @@ def test_decode_image_real_png_when_pil_available(spark):
     )
     got = {r.doc_id: (r.width, r.height, r.mode) for r in decode_image(df).collect()}
     assert got == {1: (8, 6, "RGB"), 2: (3, 5, "RGB")}
+
+
+# ------------------------------------------------- decontam / pii / mixing
+def test_contaminated_docs_hand_fixture(spark):
+    """Decontamination: docs sharing ≥1 word-8-gram with the benchmark
+    set are flagged with their DISTINCT contaminated-gram count; clean
+    docs are absent; the bench gram probe is a broadcast join."""
+    from kafka_connect_jdbc_flatten_spark.functions import decontam as DC
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = spark.createDataFrame(
+        [
+            # contains bench 8-grams 1 (alpha..hotel) and 2 (bravo..india)
+            (1, bench_text),
+            # one 8-gram overlap, embedded mid-document
+            (2, "x y " + bench_text[: bench_text.rfind(" ")] + " z"),
+            # same words, different order — no 8-gram overlap
+            (3, "india hotel golf foxtrot echo delta charlie bravo alpha"),
+            (4, "totally unrelated text with eight words here ok"),
+            # short doc == whole-text shingle, exact-matches a short bench doc
+            (5, "short probe"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text), (101, "short probe")], "doc_id long, text string"
+    )
+    out = DC.contaminated_docs(docs.repartition(4), bench, n=8)
+    got = {r.doc_id: r.n_hits for r in out.collect()}
+    assert got == {1: 2, 2: 1, 5: 1}, got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # partition invariance
+    got2 = {
+        r.doc_id: r.n_hits
+        for r in DC.contaminated_docs(docs.repartition(13), bench, n=8).collect()
+    }
+    assert got2 == got
+
+
+def test_contaminated_docs_matches_duckdb(spark):
+    """SQL-mirror parity on a real table (same md5 gram hashing)."""
+    import duckdb as _dd
+
+    from kafka_connect_jdbc_flatten_spark.functions import decontam as DC
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    got = sorted(
+        (r.doc_id, r.n_hits)
+        for r in DC.contaminated_docs(docs, bench, n=8).collect()
+    )
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            DC.contaminated_docs_sql(
+                "documents",
+                "SELECT text FROM documents WHERE doc_id % 53 = 0",
+                n=8,
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_redact_pii_cases(spark):
+    """Pattern-level redaction cases + Java-regex/RE2 parity on the
+    exact same rows, and progressive counting (no double counts)."""
+    import duckdb as _dd
+
+    from kafka_connect_jdbc_flatten_spark.functions.text import (
+        pii_count,
+        pii_count_sql,
+        redact_pii,
+        redact_pii_sql,
+    )
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org today"),
+        (2, "server 192.168.0.1 rebooted"),
+        (3, "call +1 555-010-9999 now"),
+        (4, "digits 123 and words, no pii"),
+        (5, "both a@b.co and 10.1.2.3 and 555-123-4567!"),
+        (6, ""),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.red, r.n)
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_count("text").alias("n"),
+        ).collect()
+    }
+    assert out[1] == ("mail me at <PII> today", 1)
+    assert out[2] == ("server <PII> rebooted", 1)
+    assert out[3] == ("call <PII> now", 1)
+    assert out[4] == ("digits 123 and words, no pii", 0)
+    assert out[5] == ("both <PII> and <PII> and <PII>!", 3)
+    assert out[6] == ("", 0)
+    assert out[7] == (None, None)
+    # dialect parity on the same rows
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR);"
+        "INSERT INTO t VALUES "
+        + ",".join(
+            f"({i}, {'NULL' if s is None else repr(s)})" for i, s in rows
+        )
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, {redact_pii_sql('text')}, "
+            f"{pii_count_sql('text')} FROM t"
+        ).fetchall()
+    }
+    assert {k: v for k, v in out.items() if v[0] is not None} == {
+        k: v for k, v in want.items() if v[0] is not None
+    }
+
+
+def test_mixture_weights_hand_fixture(spark):
+    """Domain mixing: pinned target takes its share, the rest split the
+    remaining mass equally; weight = target/actual; partition
+    invariant."""
+    from kafka_connect_jdbc_flatten_spark.functions.sample import (
+        mixture_weights,
+    )
+
+    rows = (
+        [(i, "a", "w " * 10) for i in range(2)]          # a: 20 tokens
+        + [(100 + i, "b", "w " * 5) for i in range(4)]    # b: 20 tokens
+        + [(200 + i, "c", "w " * 30) for i in range(2)]   # c: 60 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.domain: r
+        for r in mixture_weights(
+            df.repartition(5), "source", text_col="text", target={"a": 0.5}
+        ).collect()
+    }
+    assert out["a"].n_tokens == 20 and out["a"].actual_frac == 0.2
+    assert out["a"].target_frac == 0.5 and out["a"].weight == 2.5
+    assert out["b"].target_frac == 0.25 and out["b"].weight == 1.25
+    assert out["c"].actual_frac == 0.6 and out["c"].target_frac == 0.25
+    assert abs(out["c"].weight - round(0.25 / 0.6, 6)) < 1e-9
+    out2 = {
+        r.domain: tuple(r)
+        for r in mixture_weights(
+            df.repartition(2), "source", text_col="text", target={"a": 0.5}
+        ).collect()
+    }
+    assert out2 == {k: tuple(v) for k, v in out.items()}
