@@ -94,8 +94,9 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
     """Training-corpus prep as a submit-able job: quality filter ∧
     exact-dedup winner ∧ near-dup cluster representative (the min-id
     member that passes quality — see ``functions/corpus.py``),
-    optional sequence-packing manifest.  Writes the kept-docs manifest
-    as parquet."""
+    optional benchmark decontamination, PII redaction, and
+    sequence-packing manifest.  Writes the kept-docs manifest as
+    parquet."""
     from pyspark.sql import functions as F
 
     from .functions import corpus as CORPUS
@@ -103,13 +104,38 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
 
     spark = _spark("kcjfs-corpus-prep")
     docs = spark.read.parquet(args.docs)
+    if args.redact_pii:
+        from .functions.text import redact_pii
+
+        docs = docs.withColumn(args.text_col, redact_pii(args.text_col))
     kept = CORPUS.corpus_keep(
         docs, args.text_col, args.id_col, min_quality=args.min_quality
     )
+    n_contaminated = 0
+    if args.bench:
+        # drop docs sharing n-grams with the held-out set (anti-join on
+        # the flagged ids — the bench gram probe is broadcast inside)
+        from .functions.decontam import contaminated_docs
+
+        bench = spark.read.parquet(args.bench)
+        bad = contaminated_docs(
+            docs, bench, args.text_col, args.id_col,
+            bench_text_col=args.bench_text_col or args.text_col,
+            n=args.bench_ngram,
+        )
+        n_contaminated = bad.count()
+        kept = kept.join(
+            bad.select(F.col(args.id_col).alias("doc_id")),
+            on="doc_id", how="left_anti",
+        )
     if args.id_col != "doc_id":
         kept = kept.withColumnRenamed("doc_id", args.id_col)
     kept.write.mode("overwrite").parquet(args.out)
     summary = {"input_docs": docs.count(), "kept_docs": kept.count()}
+    if args.bench:
+        summary["contaminated_docs"] = int(n_contaminated)
+    if args.redact_pii:
+        summary["pii_redacted"] = True
     if args.pack_max_tokens:
         manifest = PK.pack_manifest(
             spark.read.parquet(args.out).join(
@@ -171,6 +197,17 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--min-quality", type=float, default=0.5)
     pc.add_argument("--pack-max-tokens", type=int, default=None)
     pc.add_argument("--pack-shards", type=int, default=8)
+    pc.add_argument(
+        "--bench", default=None,
+        help="held-out benchmark parquet; docs sharing n-grams with it "
+        "are dropped (decontamination)",
+    )
+    pc.add_argument("--bench-text-col", default=None)
+    pc.add_argument("--bench-ngram", type=int, default=8)
+    pc.add_argument(
+        "--redact-pii", action="store_true",
+        help="scrub email/IPv4/phone spans before filtering/packing",
+    )
     pc.set_defaults(fn=cmd_corpus_prep)
 
     args = p.parse_args(argv)

@@ -424,3 +424,52 @@ def test_pack_windows_slices_and_duckdb_parity(spark):
         ).fetchall()
     }
     assert {tuple(r) for r in wins} == want
+
+
+def test_cli_corpus_prep_with_decontam_and_pii(spark, tmp_path):
+    """corpus-prep with --bench and --redact-pii: contaminated docs
+    (n-gram overlap with the held-out parquet) are dropped from the
+    kept set and the summary reports the count; PII scrub runs before
+    filtering."""
+    from kafka_connect_jdbc_flatten_spark import cli
+    from kafka_connect_jdbc_flatten_spark.functions.decontam import (
+        contaminated_docs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench_path = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 53 == 0).write.parquet(bench_path)
+    out = str(tmp_path / "kept")
+    rc = cli.main([
+        "corpus-prep",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--bench", bench_path,
+        "--bench-ngram", "8",
+        "--redact-pii",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    bad_ids = {
+        r.doc_id
+        for r in contaminated_docs(
+            docs, docs.filter(F.col("doc_id") % 53 == 0), n=8
+        ).collect()
+    }
+    assert bad_ids  # fixture has near-duplicates of the bench subset
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not (got & bad_ids)
+    # without decontamination the kept set would include some of them
+    rc = cli.main([
+        "corpus-prep",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "kept_all"),
+    ])
+    assert rc == 0
+    base = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "kept_all"))
+        .select("doc_id").collect()
+    }
+    assert base & bad_ids
+    assert got == base - bad_ids
