@@ -777,10 +777,43 @@ class LakeTable:
         scope_keys: list[str],
         batch_id: int | None = None,
         writer_id: str = "default",
+        strategy: str = "cow",
     ) -> dict:
         """Tombstone apply: delete every row matching the key set —
         the reference wipes matching rows from all topic tables
-        (``JdbcDbWriter.java:130-198``)."""
+        (``JdbcDbWriter.java:130-198``).
+
+        ``strategy="mor"`` commits a marker-only replace segment
+        (scope keys + nulls, delete-flagged — the same shape the CDC
+        apply's tombstone markers use) instead of rewriting the
+        touched buckets: O(keys) IO per delete instead of O(touched
+        buckets), the shape a wide tombstone fan-out wants at scale.
+        Falls back to copy-on-write when the schema has a non-nullable
+        non-scope column (the marker row can't be padded)."""
+        if strategy == "mor":
+            from pyspark.sql import functions as _F
+
+            del_col = "__dwk_delete"
+            batch = (
+                keys_df.select(*scope_keys)
+                .distinct()
+                .withColumn(SEQ_COL, _F.lit(None).cast("long"))
+                .withColumn(del_col, _F.lit(True))
+            )
+            try:
+                return self.merge(
+                    batch,
+                    mode="replace",
+                    scope_keys=list(scope_keys),
+                    delete_col=del_col,
+                    batch_id=batch_id,
+                    writer_id=writer_id,
+                    strategy="mor",
+                )
+            except SchemaEvolutionError:
+                pass  # non-nullable non-scope column → COW below
+        elif strategy != "cow":
+            raise ValueError(f"unknown delete strategy {strategy!r}")
         if self.manifest().get("segments"):
             self.compact()  # the COW rewrite below only touches base files
         m = self.manifest()

@@ -335,9 +335,13 @@ class CdcApplier:
             # stats instead; the table's own ledger wasn't stamped, so
             # a later batch's tombstones (or an operator fix) retry it.
             try:
+                # MOR marker segment: O(keys) per foreign table instead
+                # of a copy-on-write bucket rewrite — the fan-out can
+                # touch every drifted fingerprint's tables per batch,
+                # which at scale made tombstones O(tables × buckets)
                 stats[name] = table.delete_where_keys(
                     keys_df, scope, batch_id=batch_id,
-                    writer_id=name + writer_suffix,
+                    writer_id=name + writer_suffix, strategy="mor",
                 )
             except Exception as e:  # noqa: BLE001 — isolate per table
                 stats[name] = {"error": f"{type(e).__name__}: {e}"}

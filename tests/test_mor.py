@@ -452,3 +452,87 @@ def test_legacy_manifest_backfills_bucket_cols(spark, tmp_path):
         t.delete_where_keys(
             mk2([(1, 0, None, 3)]).select("k", "i"), ["k", "i"], batch_id=2
         )
+
+
+def test_delete_where_keys_mor_marker_segment(spark, tmp_path):
+    """strategy='mor' tombstone apply: commits a marker-only replace
+    segment (O(keys) IO) instead of rewriting touched buckets; result
+    equals the COW path, survives compaction, and auto-compacts a
+    mismatched-mode segment log first."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["k"], n_buckets=4)
+    t.merge(mk(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]),
+            mode="replace", scope_keys=["k"], batch_id=0)
+    t.compact()
+    base_files = dict(t.manifest()["files"])
+    keys = spark.createDataFrame([(2,)], "k long")
+    st = t.delete_where_keys(keys, ["k"], batch_id=1, strategy="mor")
+    assert st.get("strategy") == "mor", st
+    m = t.manifest()
+    assert len(m["segments"]) == 1 and m["segments"][0]["mode"] == "replace"
+    assert m["files"] == base_files  # base untouched — no bucket rewrite
+    assert state(t) == [(1, "a"), (3, "c")]
+    t.compact()
+    assert state(t) == [(1, "a"), (3, "c")]
+    # exactly-once on redelivery
+    v = t._current_version()
+    assert t.delete_where_keys(keys, ["k"], batch_id=1, strategy="mor")["skipped"]
+    assert t._current_version() == v
+    # a mismatched-mode log (lww) auto-compacts before the marker lands
+    t.merge(mk(spark, [(4, "d", 2)]), mode="lww", batch_id=2)
+    st = t.delete_where_keys(
+        spark.createDataFrame([(4,)], "k long"), ["k"], batch_id=3,
+        strategy="mor",
+    )
+    assert not st.get("skipped"), st
+    assert state(t) == [(1, "a"), (3, "c")]
+
+
+def test_foreign_tombstone_fanout_commits_segments_not_rewrites(
+    spark, tmp_path
+):
+    """The warehouse-wide tombstone fan-out must be O(keys) per foreign
+    table: the foreign table's manifest gains a marker segment, its
+    base files keep their paths."""
+    from kafka_connect_jdbc_flatten_spark.operators.merge import CdcApplier
+    from kafka_connect_jdbc_flatten_spark.plans import compile_flatten_plan
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        CHANGELOG_SCHEMA,
+        TRANSCRIPT_KEY_SCHEMA,
+        TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config,
+    )
+
+    plan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA, TRANSCRIPT_VALUE_SCHEMA,
+        transcript_flatten_config(),
+        value_record_name="Conversation", key_record_name="ConversationKey",
+    )
+    wh = tmp_path / "wh"
+    ap = CdcApplier(spark, str(wh), plan, n_buckets=4)
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("x", T.StringType(), True),
+        T.StructField(SEQ_COL, T.LongType(), True),
+    ])
+    foreign = LakeTable.create(
+        spark, str(wh / "transcripts_conversation_x"), schema,
+        ["conv_id"], n_buckets=4, properties={"topic": "transcripts"},
+    )
+    foreign.merge(
+        spark.createDataFrame([("c1", "p", 1), ("c2", "q", 1)], schema),
+        mode="replace", scope_keys=["conv_id"], batch_id=0,
+    )
+    foreign.compact()
+    base_files = dict(foreign.manifest()["files"])
+
+    rows = [
+        (
+            "transcripts", 0, 1, TS, "CreateTime", ("c1",), None,
+            None, "d", 1, TS,
+        )
+    ]
+    ap.apply_batch(spark.createDataFrame(rows, CHANGELOG_SCHEMA), batch_id=0)
+    m = foreign.manifest()
+    assert len(m["segments"]) == 1 and m["segments"][0]["mode"] == "replace"
+    assert m["files"] == base_files
+    assert {r.conv_id for r in foreign.read().collect()} == {"c2"}
