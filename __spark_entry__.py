@@ -24,6 +24,7 @@ from kafka_connect_jdbc_flatten_spark.functions import cluster as CL
 from kafka_connect_jdbc_flatten_spark.functions import corpus as CORPUS
 from kafka_connect_jdbc_flatten_spark.functions import decontam as DECON
 from kafka_connect_jdbc_flatten_spark.functions import dedup as D
+from kafka_connect_jdbc_flatten_spark.functions import lm as LM
 from kafka_connect_jdbc_flatten_spark.functions import pack as PK
 from kafka_connect_jdbc_flatten_spark.functions import sample as SMP
 from kafka_connect_jdbc_flatten_spark.functions import similarity as SIM
@@ -1203,6 +1204,32 @@ MIXTURE_WEIGHTS_SQL = SMP.mixture_weights_sql(
 )
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact-substring dedup (distributed approximation of
+    Lee et al. 2022's suffix-array ExactSubstr): 20-token chunks,
+    corpus-wide keep-first on the 60-bit chunk hash, in-order text
+    reconstruction.  Shuffles 8-byte hash keys only
+    (functions/dedup.py::chunk_dedup)."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.chunk_dedup(docs, "text", "doc_id", chunk_tokens=20)
+
+
+CHUNK_DEDUP_SQL = D.chunk_dedup_sql("documents", "text", "doc_id", chunk_tokens=20)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-unigram LM quality score: mean token
+    log-probability under the corpus's own frequency table.  Two
+    map-side-combined aggregates + a vocab equi-join; the per-doc sum
+    folds pre-rounded terms in token-sorted order so the oracle is
+    bit-exact (functions/lm.py::unigram_logprob)."""
+    docs = _read(spark, sf_dir, "documents")
+    return LM.unigram_logprob(docs, "text", "doc_id")
+
+
+UNIGRAM_LOGPROB_SQL = LM.unigram_logprob_sql("documents", "text", "doc_id")
+
+
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash("text").alias("simhash"))
@@ -1396,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redaction": q_pii_redaction,
         "mixture_weights": q_mixture_weights,
+        "chunk_dedup": q_chunk_dedup,
+        "unigram_logprob": q_unigram_logprob,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1460,6 +1489,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": DECONTAMINATE_SQL,
         "pii_redaction": PII_REDACTION_SQL,
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
+        "chunk_dedup": CHUNK_DEDUP_SQL,
+        "unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "simhash_values": f"SELECT doc_id, {D.simhash_sql('text')} AS simhash FROM documents",
         "dedup_simhash": D.simhash_neardup_pairs_sql(
             "documents", "text", "doc_id", max_hamming=3

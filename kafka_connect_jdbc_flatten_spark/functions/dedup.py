@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, normalize_text, normalize_text_sql
+from .text import (
+    _sql_ws_tokens,
+    fingerprint,
+    normalize_text,
+    normalize_text_sql,
+    ws_tokens as _ws_tokens,
+)
 from .util import spread
 
 # Mersenne prime 2^31-1: (a*h + b) % P stays < 2^62 — safe for int64
@@ -480,4 +486,119 @@ SELECT DISTINCT a.id AS id1, b.id AS id2,
 FROM pieces a JOIN pieces b
   ON a.cidx = b.cidx AND a.cval = b.cval AND a.id < b.id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+# ------------------------------------------------------ chunk-level dedup
+# Distributed approximation of exact-substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): instead
+# of a corpus-wide suffix array (inherently sequential), split each
+# document into fixed-size token chunks and drop every chunk whose
+# exact text occurs earlier in the corpus, then reconstruct the
+# surviving document text.  Chunk granularity trades recall on
+# arbitrary-offset substrings for a fully data-parallel plan.
+
+CHUNK_POS_SHIFT = 1 << 20  # chunk_idx < 1M per doc (20 M tokens at k=20)
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Drop duplicated token chunks corpus-wide (keep-first by
+    ``(doc_id, chunk_idx)``) and reconstruct the remaining text.
+
+    Output: ``(id_col, clean_text, n_chunks, n_kept)`` — one row per
+    document that produced at least one chunk; a fully-duplicated doc
+    survives with ``clean_text = ''`` and ``n_kept = 0``.
+
+    Scale design: chunking is scan-local (split + slice column
+    exprs); the global keep-first is one map-side-combined ``min``
+    aggregate on the 60-bit chunk hash plus an equi-join back on that
+    hash (both shuffle 8-byte keys, never chunk text); reconstruction
+    regroups by doc id with an in-order fold, bounded by document
+    length.  Keep-first ordering is encoded as a single BIGINT
+    ``doc_id * 2^20 + chunk_idx`` so the winner aggregate is a plain
+    ``min`` (exact in both engines).  Reconstruction is
+    token-normalized: chunks are re-joined with single spaces.
+    """
+    k = int(chunk_tokens)
+    if k < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = _ws_tokens(F.col(text_col))
+    n_chunks = ((F.size(toks) + F.lit(k - 1)) / F.lit(k)).cast("long")
+    chunks_arr = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1)).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = (
+        spread(df)
+        .select(F.col(id_col), F.posexplode(chunks_arr).alias("chunk_idx", "chunk"))
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk",
+            _hash64_expr(F.col("chunk")).alias("chash"),
+            (F.col(id_col).cast("long") * CHUNK_POS_SHIFT + F.col("chunk_idx")).alias("pos"),
+        )
+    )
+    winner = ch.groupBy("chash").agg(F.min("pos").alias("wpos"))
+    kept = ch.join(winner, "chash").filter(F.col("pos") == F.col("wpos"))
+    rec = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    tot = ch.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    return tot.join(rec, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
+def chunk_dedup_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`chunk_dedup` (same hash, same
+    keep-first encoding, same token-normalized reconstruction)."""
+    k = int(chunk_tokens)
+    tk = _sql_ws_tokens(text_col)
+    return f"""
+WITH base AS (SELECT {id_col}, {tk} AS tk FROM {table}),
+ch AS (
+  SELECT {id_col}, i - 1 AS chunk_idx,
+         array_to_string(tk[((i - 1) * {k} + 1):((i - 1) * {k} + {k})], ' ') AS chunk
+  FROM base, UNNEST(range(1, (len(tk) + {k - 1}) // {k} + 1)) AS r(i)
+),
+h AS (
+  SELECT {id_col}, chunk_idx, chunk, {_hash64_sql('chunk')} AS chash,
+         {id_col}::BIGINT * {CHUNK_POS_SHIFT} + chunk_idx AS pos
+  FROM ch
+),
+winner AS (SELECT chash, min(pos) AS wpos FROM h GROUP BY 1),
+kept AS (SELECT h.* FROM h JOIN winner ON h.chash = winner.chash AND h.pos = winner.wpos),
+tot AS (SELECT {id_col}, count(*)::BIGINT AS n_chunks FROM h GROUP BY 1),
+rec AS (
+  SELECT {id_col}, array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT t.{id_col} AS {id_col}, coalesce(r.clean_text, '') AS clean_text,
+       t.n_chunks, coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM tot t LEFT JOIN rec r ON t.{id_col} = r.{id_col}
 """

@@ -717,3 +717,60 @@ def test_mixture_weights_hand_fixture(spark):
         ).collect()
     }
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_chunk_dedup_hand_fixture(spark):
+    """Chunk-level exact-substring dedup: a chunk duplicated later in
+    the corpus is dropped (keep-first by (doc_id, chunk_idx)); the
+    keeper's text is reconstructed in original chunk order; a fully-
+    duplicated doc survives with empty clean_text and n_kept = 0."""
+    docs = docs_df(
+        spark,
+        [
+            (1, "a b c d"),          # chunks: "a b", "c d"
+            (2, "c d a b"),          # both chunks dup'd from doc 1 -> empty
+            (3, "a b x y"),          # "a b" dup'd, "x y" kept
+            (4, ""),                 # no tokens -> no output row
+            (5, "z"),                # short doc -> one 1-token chunk
+        ],
+    )
+    out = D.chunk_dedup(docs.repartition(4), "text", "doc_id", chunk_tokens=2)
+    got = {r.doc_id: (r.clean_text, r.n_chunks, r.n_kept) for r in out.collect()}
+    assert got == {
+        1: ("a b c d", 2, 2),
+        2: ("", 2, 0),
+        3: ("x y", 2, 1),
+        5: ("z", 1, 1),
+    }, got
+    # partition invariance
+    got2 = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_kept)
+        for r in D.chunk_dedup(docs.repartition(13), "text", "doc_id", 2).collect()
+    }
+    assert got2 == got
+    # within-doc repetition: second occurrence of the same chunk drops
+    rep = docs_df(spark, [(7, "a b a b c c")])
+    row = D.chunk_dedup(rep, "text", "doc_id", chunk_tokens=2).collect()[0]
+    assert (row.clean_text, row.n_chunks, row.n_kept) == ("a b c c", 3, 2)
+    with pytest.raises(ValueError):
+        D.chunk_dedup(docs, chunk_tokens=0)
+
+
+def test_unigram_logprob_hand_fixture(spark):
+    """Corpus-unigram LM scoring: corpus 'a a a b' -> p(a)=3/4,
+    p(b)=1/4; doc1='a a a' scores ln(3/4); doc2='b' scores ln(1/4);
+    empty docs are absent; the score is partition-invariant."""
+    import math
+
+    from kafka_connect_jdbc_flatten_spark.functions import lm as LM
+
+    docs = docs_df(spark, [(1, "a a a"), (2, "b"), (3, "")])
+    out = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
+           LM.unigram_logprob(docs.repartition(4), "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1][0] == 3 and out[2][0] == 1
+    assert out[1][1] == pytest.approx(math.log(0.75), abs=1e-3)
+    assert out[2][1] == pytest.approx(math.log(0.25), abs=1e-3)
+    out2 = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
+            LM.unigram_logprob(docs.repartition(13), "text", "doc_id").collect()}
+    assert out2 == out
