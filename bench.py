@@ -178,6 +178,8 @@ def main():
             timed("text_quality", E.q_text_quality)
             timed("token_counts", E.q_token_counts)
             timed("ann_brute_topk", E.q_ann_brute_topk)
+            timed("chunk_dedup", E.q_chunk_dedup)
+            timed("unigram_logprob", E.q_unigram_logprob)
             timed("multimodal_meta", E.q_multimodal_meta)
             runs.append(dict(rq))
             queries = (

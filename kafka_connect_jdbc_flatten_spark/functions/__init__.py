@@ -10,7 +10,9 @@ Modules:
 
 * ``text``       — token counting, quality scoring, language id,
   document fingerprinting.
-* ``dedup``      — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+* ``dedup``      — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  chunk-level exact-substring dedup with text reconstruction.
+* ``lm``         — corpus-unigram LM quality scoring (CCNet-style).
 * ``similarity`` — embedding cosine top-k (brute force + LSH-bucketed
   scale path).
 * ``multimodal`` — opaque binary columns + typed metadata, Arrow-batch

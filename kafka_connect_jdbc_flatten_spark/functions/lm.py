@@ -52,7 +52,11 @@ def unigram_logprob(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
     )
     dt = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n_dt"))
-    freq = dt.groupBy("tok").agg(F.sum("n_dt").alias("cnt"))
+    # freq from the token stream, NOT from dt: the dt subtree is not
+    # reused across plan branches, so deriving freq from it would pay
+    # the (doc, tok) shuffle twice; this branch shuffles only
+    # map-side-combined (tok, count) partials per task.
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("n_total"))
     terms = (
         dt.join(freq, "tok")
@@ -103,7 +107,7 @@ def unigram_logprob_sql(
     return f"""
 WITH toks AS (SELECT {id_col}, t.tok FROM {table}, UNNEST({tk}) AS t(tok)),
 dt AS (SELECT {id_col}, tok, count(*)::BIGINT AS n_dt FROM toks GROUP BY 1, 2),
-freq AS (SELECT tok, sum(n_dt)::BIGINT AS cnt FROM dt GROUP BY 1),
+freq AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
 total AS (SELECT sum(cnt)::DOUBLE AS n_total FROM freq),
 terms AS (
   SELECT {id_col}, tok, n_dt, round(ln(cnt / n_total), {term_dp}) AS term
