@@ -515,14 +515,17 @@ def chunk_dedup(
     survives with ``clean_text = ''`` and ``n_kept = 0``.
 
     Scale design: chunking is scan-local (split + slice column
-    exprs); the global keep-first is one map-side-combined ``min``
-    aggregate on the 60-bit chunk hash plus an equi-join back on that
-    hash (both shuffle 8-byte keys, never chunk text); reconstruction
-    regroups by doc id with an in-order fold, bounded by document
-    length.  Keep-first ordering is encoded as a single BIGINT
-    ``doc_id * 2^20 + chunk_idx`` so the winner aggregate is a plain
-    ``min`` (exact in both engines).  Reconstruction is
-    token-normalized: chunks are re-joined with single spaces.
+    exprs).  Chunk TEXT is shuffled exactly once, by doc id, for the
+    reconstruction regroup; the corpus-wide keep-first decision moves
+    only 8-byte keys — a map-side-combined ``min`` aggregate on the
+    60-bit chunk hash, an equi-join of the keys-only chunk stream
+    back on that hash, and a per-doc kept-index set (bounded by doc
+    length) joined to the text stream on doc id.  The final groupBy
+    reuses that join's partitioning, so no second text exchange.
+    Keep-first ordering is encoded as a single BIGINT ``doc_id * 2^20
+    + chunk_idx`` so the winner aggregate is a plain ``min`` (exact
+    in both engines).  Reconstruction is token-normalized: chunks are
+    re-joined with single spaces.
     """
     k = int(chunk_tokens)
     if k < 1:
@@ -536,35 +539,47 @@ def chunk_dedup(
             lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * k + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ch = (
-        spread(df)
-        .select(F.col(id_col), F.posexplode(chunks_arr).alias("chunk_idx", "chunk"))
-        .select(
-            id_col,
-            "chunk_idx",
-            "chunk",
-            _hash64_expr(F.col("chunk")).alias("chash"),
-            (F.col(id_col).cast("long") * CHUNK_POS_SHIFT + F.col("chunk_idx")).alias("pos"),
-        )
+    ch = spread(df).select(
+        F.col(id_col), F.posexplode(chunks_arr).alias("chunk_idx", "chunk")
     )
-    winner = ch.groupBy("chash").agg(F.min("pos").alias("wpos"))
-    kept = ch.join(winner, "chash").filter(F.col("pos") == F.col("wpos"))
-    rec = kept.groupBy(id_col).agg(
+    # keys-only stream: (doc, idx, hash, keep-first position) — no text
+    keys = ch.select(
+        id_col,
+        "chunk_idx",
+        _hash64_expr(F.col("chunk")).alias("chash"),
+        (F.col(id_col).cast("long") * CHUNK_POS_SHIFT + F.col("chunk_idx")).alias("pos"),
+    )
+    winner = keys.groupBy("chash").agg(F.min("pos").alias("wpos"))
+    kept_idx = (
+        keys.join(winner, "chash")
+        .filter(F.col("pos") == F.col("wpos"))
+        .groupBy(id_col)
+        .agg(F.collect_set("chunk_idx").alias("keep_idx"))
+    )
+    joined = ch.join(kept_idx, id_col, "left").select(
+        id_col,
+        "chunk_idx",
+        "chunk",
+        F.array_contains(
+            F.coalesce("keep_idx", F.array().cast("array<int>")), F.col("chunk_idx")
+        ).alias("is_kept"),
+    )
+    return joined.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_kept"), F.struct("chunk_idx", "chunk")
+                        )
+                    )
+                ),
                 lambda s: s["chunk"],
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-    )
-    tot = ch.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
-    return tot.join(rec, id_col, "left").select(
-        id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
     )
 
 

@@ -774,3 +774,16 @@ def test_unigram_logprob_hand_fixture(spark):
     out2 = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
             LM.unigram_logprob(docs.repartition(13), "text", "doc_id").collect()}
     assert out2 == out
+
+
+def test_chunk_dedup_text_never_rides_the_hash_shuffle(spark):
+    """Chunk TEXT must move only in the doc-id regroup; the keep-first
+    winner aggregate and its join exchange bare 8-byte chash keys."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = D.chunk_dedup(docs, "text", "doc_id", chunk_tokens=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(chash[^\n]*", plan):
+        assert "chunk#" not in m.group(0), m.group(0)
+    assert "BroadcastNestedLoop" not in plan
