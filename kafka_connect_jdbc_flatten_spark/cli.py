@@ -128,19 +128,59 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
             bad.select(F.col(args.id_col).alias("doc_id")),
             on="doc_id", how="left_anti",
         )
+    chunk_stats = None
+    if args.chunk_dedup_tokens:
+        # exact-substring hygiene among the SURVIVING docs: duplicated
+        # token chunks are dropped keep-first and the text rewritten;
+        # docs whose every chunk was seen elsewhere drop out entirely.
+        # Runs after quality/near-dup/decontam so dropped docs cannot
+        # claim chunk ownership, and the cleaned text (not the raw
+        # docs table) is what the packing stage consumes.
+        from .functions.dedup import chunk_dedup
+
+        kept_text = docs.select(
+            F.col(args.id_col).alias("doc_id"), F.col(args.text_col)
+        ).join(kept.select("doc_id"), "doc_id", "left_semi")
+        cd = chunk_dedup(
+            kept_text, args.text_col, "doc_id", args.chunk_dedup_tokens
+        )
+        row = cd.agg(
+            F.sum("n_chunks").alias("total"),
+            F.sum("n_kept").alias("kept"),
+            F.sum((F.col("n_kept") == 0).cast("long")).alias("emptied"),
+        ).collect()[0]
+        chunk_stats = {
+            "chunks_total": int(row.total or 0),
+            "chunks_kept": int(row.kept or 0),
+            "docs_emptied": int(row.emptied or 0),
+        }
+        kept = kept.join(
+            cd.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("clean_text").alias(args.text_col)
+            ),
+            "doc_id",
+        )
     if args.id_col != "doc_id":
         kept = kept.withColumnRenamed("doc_id", args.id_col)
     kept.write.mode("overwrite").parquet(args.out)
     summary = {"input_docs": docs.count(), "kept_docs": kept.count()}
+    if chunk_stats is not None:
+        summary["chunk_dedup"] = chunk_stats
     if args.bench:
         summary["contaminated_docs"] = int(n_contaminated)
     if args.redact_pii:
         summary["pii_redacted"] = True
     if args.pack_max_tokens:
-        manifest = PK.pack_manifest(
-            spark.read.parquet(args.out).join(
+        kept_out = spark.read.parquet(args.out)
+        if args.chunk_dedup_tokens:
+            # the kept parquet already carries the chunk-deduped text
+            pack_src = kept_out
+        else:
+            pack_src = kept_out.join(
                 docs.select(args.id_col, args.text_col), args.id_col
-            ).withColumnRenamed(args.id_col, "doc_id"),
+            )
+        manifest = PK.pack_manifest(
+            pack_src.withColumnRenamed(args.id_col, "doc_id"),
             "doc_id",
             max_tokens=args.pack_max_tokens,
             n_shards=args.pack_shards,
@@ -207,6 +247,11 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument(
         "--redact-pii", action="store_true",
         help="scrub email/IPv4/phone spans before filtering/packing",
+    )
+    pc.add_argument(
+        "--chunk-dedup-tokens", type=int, default=None,
+        help="exact-substring dedup of surviving docs at this token-"
+        "chunk size; cleaned text is written and packed",
     )
     pc.set_defaults(fn=cmd_corpus_prep)
 

@@ -473,3 +473,57 @@ def test_cli_corpus_prep_with_decontam_and_pii(spark, tmp_path):
     }
     assert base & bad_ids
     assert got == base - bad_ids
+
+
+def test_cli_corpus_prep_with_chunk_dedup(spark, tmp_path, capsys):
+    """corpus-prep --chunk-dedup-tokens: surviving docs' text is
+    rewritten with corpus-wide duplicate chunks removed, the packing
+    stage consumes the CLEANED text, and the summary reports chunk
+    stats."""
+    import json as _json
+
+    from kafka_connect_jdbc_flatten_spark import cli
+    from kafka_connect_jdbc_flatten_spark.functions.text import ws_tokens
+
+    out = str(tmp_path / "kept")
+    rc = cli.main([
+        "corpus-prep",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--chunk-dedup-tokens", "5",
+        "--pack-max-tokens", "64",
+        "--pack-shards", "2",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = summary["chunk_dedup"]
+    assert st["chunks_kept"] < st["chunks_total"]  # fixture has dups
+    kept = spark.read.parquet(out)
+    assert "text" in kept.columns and kept.count() == summary["kept_docs"]
+    # no 5-token chunk appears twice across the cleaned corpus
+    from pyspark.sql import functions as FF
+    toks = kept.select(
+        "doc_id", FF.posexplode(ws_tokens("text")).alias("p", "tok")
+    )
+    chunks = (
+        toks.withColumn("c", (FF.col("p") / 5).cast("int"))
+        .groupBy("doc_id", "c")
+        .agg(
+            FF.concat_ws(" ", FF.transform(
+                FF.array_sort(FF.collect_list(FF.struct("p", "tok"))),
+                lambda s: s["tok"],
+            )).alias("chunk"),
+            FF.count(FF.lit(1)).alias("n"),
+        )
+        .filter(FF.col("n") == 5)  # only full chunks are dedup units
+    )
+    dup = chunks.groupBy("chunk").count().filter(FF.col("count") > 1).count()
+    assert dup == 0
+    # packing ran over the cleaned text: manifest token counts match
+    pack = spark.read.parquet(out + "_pack")
+    assert pack.count() == kept.count()
+    n_pack = pack.agg(FF.sum("n_tokens")).collect()[0][0]
+    n_clean = kept.select(FF.size(ws_tokens("text")).alias("n")).agg(
+        FF.sum("n")
+    ).collect()[0][0]
+    assert n_pack == n_clean
