@@ -787,3 +787,83 @@ def test_chunk_dedup_text_never_rides_the_hash_shuffle(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(chash[^\n]*", plan):
         assert "chunk#" not in m.group(0), m.group(0)
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_chunk_dedup_matches_python_model_on_random_corpus(spark):
+    """Seeded random corpus vs a row-at-a-time Python reference model
+    of keep-first chunk dedup (same hash → same winner ordering)."""
+    import random
+
+    rng = random.Random(2024)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    k = 4
+    # python model: first (doc_id, chunk_idx) occurrence of a chunk wins
+    seen, model = set(), {}
+    for doc_id, text in rows:
+        toks = text.split()
+        chunks = [
+            " ".join(toks[j : j + k]) for j in range(0, len(toks), k)
+        ]
+        if not chunks:
+            continue
+        kept = [c for c in chunks if c not in seen and not seen.add(c)]
+        model[doc_id] = (" ".join(kept), len(chunks), len(kept))
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_kept)
+        for r in D.chunk_dedup(
+            docs_df(spark, rows).coalesce(1), "text", "doc_id", k
+        ).collect()
+    }
+    assert got == model
+
+
+def test_unigram_logprob_matches_python_model_on_random_corpus(spark):
+    """Seeded random corpus vs a Python unigram model (approx compare:
+    Python round() is banker's, the engines' is HALF_UP)."""
+    import math
+    import random
+    from collections import Counter
+
+    from kafka_connect_jdbc_flatten_spark.functions import lm as LM
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    freq = Counter(t for _, tx in rows for t in tx.split())
+    total = sum(freq.values())
+    model = {
+        i: (len(toks), sum(math.log(freq[t] / total) for t in toks) / len(toks))
+        for i, toks in ((i, tx.split()) for i, tx in rows)
+        if toks
+    }
+    out = LM.unigram_logprob(docs_df(spark, rows), "text", "doc_id").collect()
+    assert {r.doc_id for r in out} == set(model)
+    for r in out:
+        n, lp = model[r.doc_id]
+        assert r.n_tokens == n
+        assert r.avg_logprob == pytest.approx(lp, abs=2e-4)
+
+
+def test_unigram_logprob_freq_branch_sheds_doc_ids(spark):
+    """The vocab-frequency branch must aggregate (tok, count) partials
+    — exactly one exchange carries (doc, tok) pairs."""
+    import re
+
+    from kafka_connect_jdbc_flatten_spark.functions import lm as LM
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        LM.unigram_logprob(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    dt_exchanges = re.findall(
+        r"Exchange hashpartitioning\(doc_id#\d+L?, tok#", plan
+    )
+    assert len(dt_exchanges) == 1, dt_exchanges
