@@ -1230,6 +1230,26 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNIGRAM_LOGPROB_SQL = LM.unigram_logprob_sql("documents", "text", "doc_id")
 
 
+def q_unigram_logprob_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring (the CCNet reference-corpus setup): the
+    model is fit on doc_id % 3 != 0, every doc is scored under it
+    with add-0.5 smoothing so out-of-vocabulary tokens are finite.
+    Same plan shapes as self-scoring plus a left join for OOV
+    (functions/lm.py)."""
+    docs = _read(spark, sf_dir, "documents")
+    model = docs.filter(F.col("doc_id") % 3 != 0)
+    return LM.unigram_logprob(docs, "text", "doc_id", model=model, alpha=0.5)
+
+
+UNIGRAM_LOGPROB_HELDOUT_SQL = LM.unigram_logprob_sql(
+    "documents",
+    "text",
+    "doc_id",
+    model_sql="SELECT text FROM documents WHERE doc_id % 3 <> 0",
+    alpha=0.5,
+)
+
+
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash("text").alias("simhash"))
@@ -1425,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "chunk_dedup": q_chunk_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "unigram_logprob_heldout": q_unigram_logprob_heldout,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1491,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": MIXTURE_WEIGHTS_SQL,
         "chunk_dedup": CHUNK_DEDUP_SQL,
         "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+        "unigram_logprob_heldout": UNIGRAM_LOGPROB_HELDOUT_SQL,
         "simhash_values": f"SELECT doc_id, {D.simhash_sql('text')} AS simhash FROM documents",
         "dedup_simhash": D.simhash_neardup_pairs_sql(
             "documents", "text", "doc_id", max_hamming=3

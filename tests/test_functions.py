@@ -867,3 +867,28 @@ def test_unigram_logprob_freq_branch_sheds_doc_ids(spark):
         r"Exchange hashpartitioning\(doc_id#\d+L?, tok#", plan
     )
     assert len(dt_exchanges) == 1, dt_exchanges
+
+
+def test_unigram_logprob_heldout_oov_and_guard(spark):
+    """Held-out scoring: OOV tokens get the alpha-floor probability,
+    in-vocab probabilities shrink by the smoothing mass, and scoring
+    a held-out set without alpha raises."""
+    import math
+
+    from kafka_connect_jdbc_flatten_spark.functions import lm as LM
+
+    model = docs_df(spark, [(100, "a a a b")])  # N=4, V=2
+    docs = docs_df(spark, [(1, "a"), (2, "zzz")])
+    out = {
+        r.doc_id: r.avg_logprob
+        for r in LM.unigram_logprob(
+            docs, "text", "doc_id", model=model, alpha=0.5
+        ).collect()
+    }
+    den = 4 + 0.5 * (2 + 1)
+    assert out[1] == pytest.approx(math.log(3.5 / den), abs=1e-3)
+    assert out[2] == pytest.approx(math.log(0.5 / den), abs=1e-3)
+    with pytest.raises(ValueError):
+        LM.unigram_logprob(docs, model=model)  # alpha defaults to 0
+    with pytest.raises(ValueError):
+        LM.unigram_logprob_sql("documents", model_sql="SELECT 1")
