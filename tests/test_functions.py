@@ -892,3 +892,39 @@ def test_unigram_logprob_heldout_oov_and_guard(spark):
         LM.unigram_logprob(docs, model=model)  # alpha defaults to 0
     with pytest.raises(ValueError):
         LM.unigram_logprob_sql("documents", model_sql="SELECT 1")
+
+
+def test_unigram_logprob_heldout_matches_python_model(spark):
+    """Random docs scored under a random reference corpus with
+    add-alpha smoothing: OOV terms hit the alpha floor, in-vocab the
+    smoothed frequency — vs a Python model."""
+    import math
+    import random
+    from collections import Counter
+
+    from kafka_connect_jdbc_flatten_spark.functions import lm as LM
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(10)]
+    mk = lambda n, lo, hi: [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(lo, hi))))
+        for i in range(n)
+    ]
+    model_rows = [(i, tx.replace("w9", "w0")) for i, tx in mk(25, 1, 20)]
+    doc_rows = mk(30, 0, 15)  # w9 is OOV for the model
+    freq = Counter(t for _, tx in model_rows for t in tx.split())
+    total, V, a = sum(freq.values()), len(freq), 0.5
+    den = total + a * (V + 1)
+    expect = {
+        i: (len(toks), sum(math.log((freq.get(t, 0) + a) / den) for t in toks) / len(toks))
+        for i, toks in ((i, tx.split()) for i, tx in doc_rows)
+        if toks
+    }
+    out = LM.unigram_logprob(
+        docs_df(spark, doc_rows), "text", "doc_id",
+        model=docs_df(spark, model_rows), alpha=a,
+    ).collect()
+    assert {r.doc_id for r in out} == set(expect)
+    for r in out:
+        n, lp = expect[r.doc_id]
+        assert r.n_tokens == n and r.avg_logprob == pytest.approx(lp, abs=2e-4)
