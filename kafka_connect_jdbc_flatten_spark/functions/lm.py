@@ -82,6 +82,11 @@ def unigram_logprob(
     # the (doc, tok) shuffle twice; this branch shuffles only
     # map-side-combined (tok, count) partials per task.
     freq = model_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # freq is vocab-sized (≪ corpus); localCheckpoint materializes it
+    # once so the totals branch and the scoring join share one token
+    # scan instead of re-exploding the corpus (lazy: computed on the
+    # first action, reused after)
+    freq = freq.localCheckpoint(eager=False)
     total = freq.agg(
         F.sum("cnt").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("n_vocab"),
