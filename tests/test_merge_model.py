@@ -129,3 +129,49 @@ def test_random_op_sequences_match_reference_model(spark, plan, tmp_path, seed):
     assert got_children == want_children
     # one row per live key in the parent table (no duplicate images)
     assert ap.read("transcripts_conversation").count() == len(want_parents)
+
+
+def test_random_insert_mode_matches_append_model(spark, tmp_path):
+    """insert.mode=insert under random op sequences: every non-
+    tombstone envelope's flattened rows append (duplicates accumulate,
+    tombstones ignored) — vs a Python append model."""
+    import dataclasses
+
+    from kafka_connect_jdbc_flatten_spark.plans import compile_flatten_plan
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        transcript_flatten_config,
+    )
+
+    rng = random.Random(404)
+    cfg = dataclasses.replace(
+        transcript_flatten_config(), insert_mode="insert", delete_enabled=True
+    )
+    iplan = compile_flatten_plan(
+        TRANSCRIPT_KEY_SCHEMA, TRANSCRIPT_VALUE_SCHEMA, cfg,
+        value_record_name="Conversation", key_record_name="ConversationKey",
+    )
+    ops = _random_ops(rng, n_ops=25, n_keys=4)
+    batches = _split_batches(rng, ops)
+    ap = CdcApplier(spark, str(tmp_path / "wh"), iplan, n_buckets=4)
+    for bid, batch in enumerate(batches):
+        ap.apply_batch(mkdf(spark, [env(c, t, op, s) for (c, op, t, s) in batch]), batch_id=bid)
+    # model: multiset of (conv, turn_idx, role, text, tool) across all
+    # non-delete envelopes, duplicates preserved
+    from collections import Counter
+
+    want = Counter(
+        (conv, i, role, text, tool)
+        for conv, op, turns, _ in ops
+        if op != "d"
+        for (i, role, text, tool) in turns
+    )
+    got = Counter(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool)
+        for r in ap.read("transcripts_conversation_turns").collect()
+    )
+    assert got == want
+    want_parents = Counter(conv for conv, op, _, _ in ops if op != "d")
+    got_parents = Counter(
+        r.conv_id for r in ap.read("transcripts_conversation").collect()
+    )
+    assert got_parents == want_parents
