@@ -131,6 +131,93 @@ def test_random_op_sequences_match_reference_model(spark, plan, tmp_path, seed):
     assert ap.read("transcripts_conversation").count() == len(want_parents)
 
 
+def test_random_update_mode_matches_sql_update_model(spark, tmp_path):
+    """insert.mode=update under random op sequences vs a sequential
+    SQL-UPDATE model: an update rewrites EVERY base row matching the
+    row key (multiplicity preserved — the r3 advisory), unknown keys
+    are silently ignored, tombstones wipe the key scope.  Base state
+    is seeded through insert mode so duplicate rows with divergent
+    values exist before the first update."""
+    import dataclasses
+    from collections import Counter
+
+    from kafka_connect_jdbc_flatten_spark.sources.changelog import (
+        transcript_flatten_config,
+    )
+
+    rng = random.Random(2024)
+
+    def _plan(mode):
+        cfg = dataclasses.replace(
+            transcript_flatten_config(), insert_mode=mode, delete_enabled=True
+        )
+        return compile_flatten_plan(
+            TRANSCRIPT_KEY_SCHEMA, TRANSCRIPT_VALUE_SCHEMA, cfg,
+            value_record_name="Conversation", key_record_name="ConversationKey",
+        )
+
+    wh = str(tmp_path / "wh")
+    # ---- seed: insert-mode appends, 1-2 envelopes per conv so some
+    # (conv, turn_idx) row keys carry multiplicity > 1 with different
+    # values (the duplicates an update must rewrite ALL of)
+    seeder = CdcApplier(spark, wh, _plan("insert"), n_buckets=4)
+    child: dict[tuple, list] = {}  # (conv, idx) -> list of (role, text, tool)
+    parent: Counter = Counter()
+    seed_rows, seq = [], 0
+    for k in range(1, 5):  # c1..c4 seeded; c5 in ops is never seeded
+        conv = f"c{k}"
+        for _ in range(rng.randint(1, 2)):
+            seq += 1
+            turns = _random_turns(rng, max_turns=3)
+            seed_rows.append(env(conv, turns, "c", seq))
+            parent[conv] += 1
+            for (i, role, text, tool) in turns:
+                child.setdefault((conv, i), []).append((role, text, tool))
+    seeder.apply_batch(mkdf(spark, seed_rows), batch_id=0)
+
+    # ---- random update/delete stream through an update-mode applier.
+    # Linear seq-order application is the correct model even though the
+    # applier runs all of a batch's updates before its deletes: updates
+    # never resurrect a deleted key, so update-then-delete and
+    # delete-then-update converge to the same final state.
+    ops = []
+    for s in range(seq + 1, seq + 31):
+        conv = f"c{rng.randint(1, 5)}"
+        op = rng.choices(("u", "d"), weights=(4, 1))[0]
+        ops.append((conv, op, None if op == "d" else _random_turns(rng), s))
+    ap = CdcApplier(spark, wh, _plan("update"), n_buckets=4)
+    for bid, batch in enumerate(_split_batches(rng, ops), start=1):
+        df = mkdf(spark, [env(c, t, op, s) for (c, op, t, s) in batch])
+        ap.apply_batch(df, batch_id=bid)
+        if rng.random() < 0.3:  # crash-redelivery must be idempotent
+            ap.apply_batch(df, batch_id=bid)
+    if rng.random() < 0.5:
+        ap.maintain()  # compaction must not change visible state
+
+    for conv, op, turns, _ in ops:
+        if op == "d":
+            parent.pop(conv, None)
+            child = {k: v for k, v in child.items() if k[0] != conv}
+        else:
+            for (i, role, text, tool) in turns:
+                if (conv, i) in child:  # unknown row keys silently ignored
+                    child[(conv, i)] = [(role, text, tool)] * len(child[(conv, i)])
+    want_children = Counter(
+        (c, i, role, text, tool)
+        for (c, i), vals in child.items()
+        for (role, text, tool) in vals
+    )
+    got_children = Counter(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool)
+        for r in ap.read("transcripts_conversation_turns").collect()
+    )
+    assert got_children == want_children
+    got_parents = Counter(
+        r.conv_id for r in ap.read("transcripts_conversation").collect()
+    )
+    assert got_parents == parent
+
+
 def test_random_insert_mode_matches_append_model(spark, tmp_path):
     """insert.mode=insert under random op sequences: every non-
     tombstone envelope's flattened rows append (duplicates accumulate,
