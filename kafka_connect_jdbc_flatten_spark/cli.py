@@ -103,8 +103,13 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
     from .functions import pack as PK
 
     spark = _spark("kcjfs-corpus-prep")
-    docs = spark.read.parquet(args.docs)
+    raw_docs = spark.read.parquet(args.docs)
+    docs = raw_docs
     if args.redact_pii:
+        # redaction applies to the TRAINING view only; the
+        # decontamination probe below runs on `raw_docs`, since a
+        # redacted span would break exactly the 8-gram overlaps the
+        # check exists to find (bench text is never redacted)
         from .functions.text import redact_pii
 
         docs = docs.withColumn(args.text_col, redact_pii(args.text_col))
@@ -119,10 +124,10 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
 
         bench = spark.read.parquet(args.bench)
         bad = contaminated_docs(
-            docs, bench, args.text_col, args.id_col,
+            raw_docs, bench, args.text_col, args.id_col,
             bench_text_col=args.bench_text_col or args.text_col,
             n=args.bench_ngram,
-        )
+        ).persist()  # consumed twice: the count and the anti-join
         n_contaminated = bad.count()
         kept = kept.join(
             bad.select(F.col(args.id_col).alias("doc_id")),
@@ -143,7 +148,7 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
         ).join(kept.select("doc_id"), "doc_id", "left_semi")
         cd = chunk_dedup(
             kept_text, args.text_col, "doc_id", args.chunk_dedup_tokens
-        )
+        ).persist()  # consumed twice: the stats agg and the kept join
         row = cd.agg(
             F.sum("n_chunks").alias("total"),
             F.sum("n_kept").alias("kept"),
@@ -163,11 +168,18 @@ def cmd_corpus_prep(args: argparse.Namespace) -> int:
     if args.id_col != "doc_id":
         kept = kept.withColumnRenamed("doc_id", args.id_col)
     kept.write.mode("overwrite").parquet(args.out)
-    summary = {"input_docs": docs.count(), "kept_docs": kept.count()}
+    # count the WRITTEN parquet (metadata-only) — re-counting `kept`
+    # would re-derive the whole quality/dedup/decontam/chunk lineage
+    summary = {
+        "input_docs": raw_docs.count(),
+        "kept_docs": spark.read.parquet(args.out).count(),
+    }
     if chunk_stats is not None:
         summary["chunk_dedup"] = chunk_stats
+        cd.unpersist()
     if args.bench:
         summary["contaminated_docs"] = int(n_contaminated)
+        bad.unpersist()
     if args.redact_pii:
         summary["pii_redacted"] = True
     if args.pack_max_tokens:

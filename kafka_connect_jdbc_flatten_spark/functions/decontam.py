@@ -29,6 +29,13 @@ from pyspark.sql import functions as F
 from .dedup import _hash64_expr, _hash64_sql, word_shingles, word_shingles_sql
 from .util import spread
 
+# broadcast the bench gram set only while it plausibly fits every
+# executor (same guard class as MOR_BROADCAST_DELTA_BYTES /
+# ARROW_ALLPAIRS_MATRIX_BYTES): an arbitrary user parquet passed as
+# --bench is data-plane input, not config
+BENCH_GRAM_BROADCAST_BYTES = 256 * 1024 * 1024
+_BENCH_GRAM_EST_BYTES = 24  # 8-byte hash + hashed-relation row overhead
+
 
 def contaminated_docs(
     docs: DataFrame,
@@ -38,12 +45,18 @@ def contaminated_docs(
     bench_text_col: str | None = None,
     n: int = 8,
     min_hits: int = 1,
+    broadcast_cap_bytes: int = BENCH_GRAM_BROADCAST_BYTES,
 ) -> DataFrame:
     """``(doc_id, n_hits)`` for every training doc sharing ≥
     ``min_hits`` distinct word ``n``-grams with any benchmark doc.
 
     ``n_hits`` counts the doc's DISTINCT contaminated grams (set
     semantics, like the shingles themselves).
+
+    The bench gram set is broadcast only below ``broadcast_cap_bytes``
+    (estimated from its distinct-gram count); past the cap the probe
+    falls back to a shuffled equi-join on the 8-byte hash — slower but
+    safe for a benchmark set of any size.
     """
     bench_text = bench_text_col or text_col
     bench_grams = (
@@ -57,8 +70,13 @@ def contaminated_docs(
         .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("g"))
         .select(id_col, _hash64_expr(F.col("g")).alias("gh"))
     )
+    # the guard count re-scans the bench set (tiny by assumption; when
+    # it isn't, one extra scan is cheap next to the shuffle join it
+    # correctly routes to)
+    if bench_grams.count() * _BENCH_GRAM_EST_BYTES <= broadcast_cap_bytes:
+        bench_grams = F.broadcast(bench_grams)
     return (
-        doc_grams.join(F.broadcast(bench_grams), on="gh", how="inner")
+        doc_grams.join(bench_grams, on="gh", how="inner")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import (
     _sql_ws_tokens,
@@ -499,6 +500,30 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 # arbitrary-offset substrings for a fully data-parallel plan.
 
 CHUNK_POS_SHIFT = 1 << 20  # chunk_idx < 1M per doc (20 M tokens at k=20)
+# ids must fit the encoding `id * 2^20 + idx` without int64 overflow;
+# |id| < 2^42 leaves headroom (2^42 * 2^20 = 2^62 < 2^63)
+CHUNK_MAX_ABS_ID = 1 << 42
+
+
+def _chunk_pos_expr(id_col: str):
+    """Keep-first position ``id * 2^20 + chunk_idx`` with a runtime
+    bounds guard: out-of-range ids / chunk indexes RAISE (in both
+    engines — see the SQL mirror) instead of silently wrapping, since
+    a wrapped position corrupts the keep-first winner choice."""
+    ok = (
+        F.col(id_col).between(-CHUNK_MAX_ABS_ID, CHUNK_MAX_ABS_ID - 1)
+        & (F.col("chunk_idx") < CHUNK_POS_SHIFT)
+    )
+    pos = F.col(id_col).cast("long") * CHUNK_POS_SHIFT + F.col("chunk_idx")
+    return F.when(ok, pos).otherwise(
+        F.raise_error(
+            F.lit(
+                "chunk_dedup: doc id or chunk index outside the encodable "
+                f"range (|id| < 2^42, chunk_idx < {CHUNK_POS_SHIFT}); remap "
+                "ids to a dense integral surrogate first"
+            )
+        )
+    )
 
 
 def chunk_dedup(
@@ -524,12 +549,29 @@ def chunk_dedup(
     reuses that join's partitioning, so no second text exchange.
     Keep-first ordering is encoded as a single BIGINT ``doc_id * 2^20
     + chunk_idx`` so the winner aggregate is a plain ``min`` (exact
-    in both engines).  Reconstruction is token-normalized: chunks are
-    re-joined with single spaces.
+    in both engines) — which requires an INTEGRAL ``id_col`` with
+    ``|id| < 2^42`` and < 2^20 chunks per doc; non-integral id types
+    are refused at plan time and out-of-range values raise at runtime
+    (both engines) instead of silently corrupting the winner choice.
+    Reconstruction is token-normalized: chunks are re-joined with
+    single spaces.
     """
     k = int(chunk_tokens)
     if k < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # a non-numeric id would cast to NULL under Spark's non-ANSI
+        # cast, making every `pos` NULL and silently dropping EVERY
+        # chunk — refuse at plan time instead
+        raise ValueError(
+            f"chunk_dedup requires an integral {id_col!r} column for the "
+            f"keep-first position encoding, got {id_type.simpleString()}; "
+            "remap ids to a dense integral surrogate (e.g. "
+            "zipWithUniqueId / row_number) before deduplicating"
+        )
     toks = _ws_tokens(F.col(text_col))
     n_chunks = ((F.size(toks) + F.lit(k - 1)) / F.lit(k)).cast("long")
     chunks_arr = F.when(
@@ -547,7 +589,7 @@ def chunk_dedup(
         id_col,
         "chunk_idx",
         _hash64_expr(F.col("chunk")).alias("chash"),
-        (F.col(id_col).cast("long") * CHUNK_POS_SHIFT + F.col("chunk_idx")).alias("pos"),
+        _chunk_pos_expr(id_col).alias("pos"),
     )
     winner = keys.groupBy("chash").agg(F.min("pos").alias("wpos"))
     kept_idx = (
@@ -602,7 +644,10 @@ ch AS (
 ),
 h AS (
   SELECT {id_col}, chunk_idx, chunk, {_hash64_sql('chunk')} AS chash,
-         {id_col}::BIGINT * {CHUNK_POS_SHIFT} + chunk_idx AS pos
+         CASE WHEN {id_col} BETWEEN -{CHUNK_MAX_ABS_ID} AND {CHUNK_MAX_ABS_ID - 1}
+                   AND chunk_idx < {CHUNK_POS_SHIFT}
+              THEN {id_col}::BIGINT * {CHUNK_POS_SHIFT} + chunk_idx
+              ELSE error('chunk_dedup: id/idx outside encodable range') END AS pos
   FROM ch
 ),
 winner AS (SELECT chash, min(pos) AS wpos FROM h GROUP BY 1),

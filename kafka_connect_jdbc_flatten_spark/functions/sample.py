@@ -114,7 +114,10 @@ def mixture_weights(
     Output: ``(domain, n_docs, n_tokens, actual_frac, target_frac,
     weight)`` where ``weight = target_frac / actual_frac`` is the
     per-domain sampling (or epoch-repeat) factor; weight > 1 means the
-    domain is under-represented and must be up-sampled.
+    domain is under-represented and must be up-sampled.  A domain
+    observed with ZERO tokens (all-empty text) gets ``weight`` NULL in
+    both engines — there is no finite factor that reaches a token
+    share from nothing.
 
     ``target`` maps domain → desired token share; domains absent from
     the map share the REMAINING mass equally.  With no map at all the
@@ -153,14 +156,21 @@ def mixture_weights(
         )
     else:
         tgt = F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")
-    actual = F.col("n_tokens").cast("double") / total.cast("double")
+    # explicit zero guards — Spark's non-ANSI x/0 -> NULL is an engine
+    # quirk, not a contract; make NULL the DOCUMENTED value in both
+    # engines: actual_frac NULL iff the corpus has zero tokens, weight
+    # NULL iff THIS domain has zero tokens (an all-empty-text domain
+    # cannot be resampled to a token share)
+    actual = F.when(
+        total > 0, F.col("n_tokens").cast("double") / total.cast("double")
+    )
     return per.select(
         "domain",
         "n_docs",
         "n_tokens",
         F.round(actual, 6).alias("actual_frac"),
         F.round(tgt, 6).alias("target_frac"),
-        F.round(tgt / actual, 6).alias("weight"),
+        F.round(F.when(F.col("n_tokens") > 0, tgt / actual), 6).alias("weight"),
     )
 
 
@@ -200,8 +210,10 @@ WITH per AS (
   FROM {table} GROUP BY 1
 )
 SELECT domain, n_docs, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / {total}, 6) AS actual_frac,
+       round(CASE WHEN {total} > 0
+             THEN CAST(n_tokens AS DOUBLE) / {total} END, 6) AS actual_frac,
        round({tgt}, 6) AS target_frac,
-       round({tgt} / (CAST(n_tokens AS DOUBLE) / {total}), 6) AS weight
+       round(CASE WHEN n_tokens > 0
+             THEN {tgt} / (CAST(n_tokens AS DOUBLE) / {total}) END, 6) AS weight
 FROM per
 """

@@ -710,6 +710,12 @@ class LakeTable:
             self.compact()
             base = self._current_version()
             m = self.manifest()
+            # re-validate against the re-read manifest: on a legacy
+            # manifest the first check backfilled ``bucket_cols`` into
+            # the now-discarded copy of ``m``; committing without it
+            # would let a later writer backfill a DIFFERENT layout
+            # unchallenged and bucket-prune against the wrong files
+            self._check_layout_scope(list(scope_keys), m)
         if not files_by_bucket:
             if batch_id is not None:
                 m["last_committed_batch_id"][writer_id] = batch_id

@@ -429,8 +429,10 @@ def test_pack_windows_slices_and_duckdb_parity(spark):
 def test_cli_corpus_prep_with_decontam_and_pii(spark, tmp_path):
     """corpus-prep with --bench and --redact-pii: contaminated docs
     (n-gram overlap with the held-out parquet) are dropped from the
-    kept set and the summary reports the count; PII scrub runs before
-    filtering."""
+    kept set and the summary reports the count.  The decontamination
+    probe runs on the RAW text (r4 review: redacting first would break
+    exactly the 8-gram overlaps the check exists to find); redaction
+    applies to the kept training view."""
     from kafka_connect_jdbc_flatten_spark import cli
     from kafka_connect_jdbc_flatten_spark.functions.decontam import (
         contaminated_docs,

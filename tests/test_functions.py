@@ -627,6 +627,35 @@ def test_contaminated_docs_matches_duckdb(spark):
     assert got == want and len(got) > 0
 
 
+def test_contaminated_docs_over_cap_falls_back_to_shuffle_join(spark):
+    """r4 review: the bench gram set is data-plane input — past the
+    broadcast byte cap the probe must route through a shuffled
+    equi-join (no driver/executor-sized broadcast) with identical
+    output."""
+    from kafka_connect_jdbc_flatten_spark.functions import decontam as DC
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    base = sorted(
+        (r.doc_id, r.n_hits)
+        for r in DC.contaminated_docs(docs, bench, n=8).collect()
+    )
+    # disable Catalyst's own size-based auto-broadcast so the plan
+    # shape isolates the HINT (at real scale the stats do this)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        capped = DC.contaminated_docs(docs, bench, n=8, broadcast_cap_bytes=0)
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        # under the cap the hint still forces the broadcast probe
+        hinted = DC.contaminated_docs(docs, bench, n=8)
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan
+        assert sorted((r.doc_id, r.n_hits) for r in capped.collect()) == base
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_redact_pii_cases(spark):
     """Pattern-level redaction cases + Java-regex/RE2 parity on the
     exact same rows, and progressive counting (no double counts)."""
@@ -717,6 +746,47 @@ def test_mixture_weights_hand_fixture(spark):
         ).collect()
     }
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_mixture_weights_zero_token_domain_is_null_in_both_engines(spark):
+    """r4 review: a domain observed only via empty text has no finite
+    sampling factor — weight must be an EXPLICIT NULL (not an engine-
+    dependent x/0 artifact) in Spark and the DuckDB mirror alike."""
+    import duckdb as _dd
+
+    from kafka_connect_jdbc_flatten_spark.functions.sample import (
+        mixture_weights,
+        mixture_weights_sql,
+    )
+
+    rows = [
+        (1, "a", "w w w w"),  # 4 tokens
+        (2, "b", ""),         # zero tokens
+        (3, "b", "   "),      # whitespace-only: still zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.domain: r for r in mixture_weights(df, "source").collect()}
+    assert got["b"].n_tokens == 0
+    assert got["b"].weight is None
+    assert got["a"].weight is not None
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT * FROM (VALUES "
+        "(1, 'a', 'w w w w'), (2, 'b', ''), (3, 'b', '   ')"
+        ") t(doc_id, source, text)"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(mixture_weights_sql("docs", "source")).fetchall()
+    }
+    for d in ("a", "b"):
+        assert (
+            got[d].n_docs,
+            got[d].n_tokens,
+            got[d].actual_frac,
+            got[d].target_frac,
+            got[d].weight,
+        ) == tuple(want[d][1:]), d
 
 
 def test_chunk_dedup_hand_fixture(spark):
@@ -819,6 +889,39 @@ def test_chunk_dedup_matches_python_model_on_random_corpus(spark):
         ).collect()
     }
     assert got == model
+
+
+def test_chunk_dedup_guards_the_position_encoding(spark):
+    """r4 review: a non-integral id column used to cast to NULL under
+    Spark's non-ANSI cast, NULL-ing every keep-first position and
+    silently dropping the WHOLE corpus; out-of-range ids silently
+    wrapped int64.  Both must raise instead."""
+    import pytest
+
+    from kafka_connect_jdbc_flatten_spark.functions import dedup as D
+
+    # plan-time: string ids are refused outright
+    sdocs = spark.createDataFrame(
+        [("u1", "a b c d"), ("u2", "a b c d")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        D.chunk_dedup(sdocs, "text", "doc_id", 2)
+    # runtime: an id outside |id| < 2^42 would overflow id*2^20 + idx
+    big = spark.createDataFrame(
+        [(1 << 50, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="encodable range"):
+        D.chunk_dedup(big, "text", "doc_id", 2).collect()
+    # in-range ids (incl. negative) still work and match the mirror's
+    # arithmetic
+    ok = spark.createDataFrame(
+        [(-5, "a b c d"), (7, "a b x y")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in D.chunk_dedup(ok, "text", "doc_id", 2).collect()
+    }
+    assert got == {-5: ("a b c d", 2), 7: ("x y", 1)}
 
 
 def test_unigram_logprob_matches_python_model_on_random_corpus(spark):

@@ -454,6 +454,71 @@ def test_legacy_manifest_backfills_bucket_cols(spark, tmp_path):
         )
 
 
+def test_commit_segment_mixed_mode_keeps_layout_backfill(spark, tmp_path):
+    """r4 review: commit_segment's mixed-mode branch compacts and
+    RE-READS the manifest, which used to discard the bucket_cols
+    backfill the first layout check made on a legacy manifest — the
+    committed manifest must still carry the backfilled layout so a
+    later writer cannot backfill a DIFFERENT one and bucket-prune
+    against the wrong files."""
+    import json
+
+    import pytest
+
+    from kafka_connect_jdbc_flatten_spark.lake.table import (
+        BUCKET_COL,
+        MOR_DELETE_COL,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("i", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField(SEQ_COL, T.LongType(), True),
+        ]
+    )
+
+    def mk2(rows):
+        return spark.createDataFrame(rows, schema)
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["k", "i"], n_buckets=4,
+        bucket_cols=["k"],
+    )
+    # pending delta segment of a DIFFERENT mode than the next commit
+    t.merge(mk2([(1, 0, "a", 1)]), mode="lww", scope_keys=["k"],
+            strategy="mor", batch_id=0)
+    # strip bucket_cols in place, like a manifest written by old code
+    v = t._current_version()
+    mp = os.path.join(t._manifest_dir, f"v{v}.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["bucket_cols"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    # metadata-half commit (the multi-table union-writer path) of a
+    # replace segment: mixed modes force the compact + manifest re-read
+    out = (
+        t._align(mk2([(1, 0, "b", 2)]))
+        .withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col("k")), F.lit(4)).cast("int")
+        )
+        .withColumn(MOR_DELETE_COL, F.lit(False))
+        .select(*[f.name for f in schema.fields], BUCKET_COL, MOR_DELETE_COL)
+    )
+    files = t._write_bucket_files(out, "r4backfill")
+    st = t.commit_segment(files, mode="replace", scope_keys=["k"], batch_id=1)
+    assert not st.get("skipped")
+    assert t.manifest()["bucket_cols"] == ["k"]
+    assert sorted((r.k, r.i, r.v) for r in t.read().collect()) == [(1, 0, "b")]
+    # a later mismatched scope is rejected against the durable backfill
+    with pytest.raises(ValueError, match="bucket layout"):
+        t.delete_where_keys(
+            mk2([(1, 0, None, 3)]).select("k", "i"), ["k", "i"], batch_id=2
+        )
+
+
 def test_delete_where_keys_mor_marker_segment(spark, tmp_path):
     """strategy='mor' tombstone apply: commits a marker-only replace
     segment (O(keys) IO) instead of rewriting touched buckets; result
