@@ -1390,6 +1390,55 @@ FROM d
 """
 
 
+def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document ingest (extension layer meets the streaming
+    runtime): file-source micro-batches → stateful streaming
+    ``dropDuplicates`` on the content fingerprint → exactly-once lake
+    append (``streaming/corpus.py``).  The surviving ROW per
+    fingerprint is stream-order-dependent (first seen), but its
+    NORMALIZED text is fingerprint-determined, so the (fp, norm_text)
+    projection is deterministic and DuckDB-checkable."""
+    from kafka_connect_jdbc_flatten_spark.functions.text import normalize_text
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        StreamingCorpusIngest,
+    )
+
+    root = _tmp("corpstream")
+    feed = os.path.join(root, "feed")
+    (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(2)
+        .write.parquet(feed)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    ing = StreamingCorpusIngest(
+        spark,
+        feed,
+        os.path.join(root, "wh"),
+        os.path.join(root, "ckpt"),
+        schema=schema,
+        max_files_per_trigger=1,  # force multiple micro-batches
+        n_buckets=8,
+    )
+    ing.run_available(timeout_sec=600)
+    return ing.read().select(
+        F.col("fp"), normalize_text("text").alias("norm_text")
+    )
+
+
+STREAMING_CORPUS_SQL = """
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1456,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "streaming_corpus_ingest": q_streaming_corpus_ingest,
     }
 
 
@@ -1525,4 +1575,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": EMB_NEARDUP_SQL,  # n_planes=0 ⇒ all pairs
         "multimodal_meta": MULTIMODAL_META_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+        "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
     }

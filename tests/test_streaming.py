@@ -555,3 +555,114 @@ def test_drift_restart_gc_and_cross_fingerprint_tombstones(spark, tmp_path):
     assert parent.filter(
         (F.col("event_id") % 2 == 0) & (F.col("role") != "upd")
     ).count() == 0
+
+
+# ---------------------------------------------------------------- corpus
+def _docs_chunk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_streaming_corpus_dedup_quality_and_exactly_once(spark, tmp_path):
+    """StreamingCorpusIngest: stateful fingerprint dedup across
+    micro-batches AND across restart (checkpointed state), quality
+    gate, exactly-once lake append via the batch ledger."""
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        StreamingCorpusIngest,
+    )
+
+    feed = str(tmp_path / "feed")
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    # chunk 1: two distinct docs + an intra-chunk duplicate of doc 1
+    _docs_chunk(
+        spark,
+        [(1, good), (2, good + " more words here"), (3, good)],
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # chunk 2: a cross-chunk duplicate (normalized: case/whitespace
+    # differences hash identically) + a low-quality doc + a new doc
+    _docs_chunk(
+        spark,
+        [
+            (4, "  " + good.upper() + "  "),
+            (5, "!!! ??? ..."),
+            (6, good + " and a genuinely new sentence appears"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    ing = StreamingCorpusIngest(
+        spark, feed, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        schema=schema, min_quality=0.3, max_files_per_trigger=1, n_buckets=4,
+    )
+    stats = ing.run_available(timeout_sec=600)
+    assert len(stats) >= 2  # maxFilesPerTrigger=1 → one batch per file
+    out = {r.doc_id: r for r in ing.read().collect()}
+    # distinct fingerprints: good, good+more, good+new — low-quality 5
+    # gated out, duplicates 3 and 4 dropped by the stream state
+    assert set(out) == {1, 2, 6}
+    assert len({r.fp for r in out.values()}) == 3
+    assert all(r.quality_score >= 0.3 for r in out.values())
+
+    # ---- restart: same checkpoint; duplicates of PRE-restart docs and
+    # a redelivered file must not reappear (state + ledger survive)
+    _docs_chunk(
+        spark,
+        [(7, good), (8, "another brand new document with plenty of words")],
+    ).coalesce(1).write.mode("append").parquet(feed)
+    ing2 = StreamingCorpusIngest(
+        spark, feed, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        schema=schema, min_quality=0.3, max_files_per_trigger=1, n_buckets=4,
+    )
+    ing2.run_available(timeout_sec=600)
+    out2 = {r.doc_id for r in ing2.read().collect()}
+    assert out2 == {1, 2, 6, 8}  # 7 is a cross-RESTART duplicate of 1
+    # exactly one row per fingerprint even after compaction
+    ing2.table.compact()
+    assert {r.doc_id for r in ing2.read().collect()} == out2
+
+
+def test_streaming_corpus_watermarked_dedup(spark, tmp_path):
+    """ts_col routes through dropDuplicatesWithinWatermark: duplicates
+    inside the watermark window are dropped; the pipeline still
+    appends exactly one row per surviving doc."""
+    import datetime
+
+    import pyspark.sql.types as T
+
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        StreamingCorpusIngest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [
+            (1, "some sufficiently long and wordy document body", t0),
+            (2, "some sufficiently long and wordy document body",
+             t0 + datetime.timedelta(minutes=5)),
+            (3, "a different long and wordy document body entirely",
+             t0 + datetime.timedelta(minutes=6)),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(feed)
+    ing = StreamingCorpusIngest(
+        spark, feed, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        schema=schema, ts_col="ts", watermark="1 hour", n_buckets=4,
+    )
+    ing.run_available(timeout_sec=600)
+    got = sorted(r.doc_id for r in ing.read().collect())
+    assert got == [1, 3]
