@@ -170,7 +170,12 @@ class StreamingCorpusIngest:
         stream = reader.option("recursiveFileLookup", "true").parquet(
             self.docs_dir
         )
-        enriched = stream.withColumn(FP_COL, fingerprint(self.text_col))
+        # null text has no fingerprint (the table declares fp NOT NULL,
+        # and NULL keys would collapse into one dedup bucket) — drop it
+        # at the scan, before any state is spent on it
+        enriched = stream.filter(
+            F.col(self.text_col).isNotNull()
+        ).withColumn(FP_COL, fingerprint(self.text_col))
         if self.ts_col:
             deduped = enriched.withWatermark(
                 self.ts_col, self.watermark
