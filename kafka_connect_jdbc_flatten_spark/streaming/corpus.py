@@ -116,9 +116,11 @@ class StreamingCorpusIngest:
         """
         t0 = time.time()
         feats = text_quality(F.col(self.text_col))
+        # persisted: consumed twice (the docs_in count and the segment
+        # write) — without it the fingerprint/quality exprs re-run
         scored = batch_df.withColumn(
             "quality_score", feats["quality_score"]
-        )
+        ).persist()
         n_in = scored.count()
         if self.min_quality is not None:
             scored = scored.filter(
@@ -141,6 +143,7 @@ class StreamingCorpusIngest:
             batch_id=batch_id,
             writer_id="corpus",
         )
+        scored.unpersist()
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.table.compact()
             self.table.vacuum()

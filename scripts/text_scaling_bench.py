@@ -1,5 +1,6 @@
 """Two-parallelism-level scaling evidence for the training-data text
-layer (chunk-level exact-substring dedup + corpus-unigram LM scoring),
+layer (chunk-level exact-substring dedup, corpus-unigram LM scoring,
+and the streaming corpus ingest),
 mirroring scripts/scaling_bench.py's methodology for the CDC replay:
 the IDENTICAL job runs at local[N] and local[4N] on the SAME amplified
 corpus; efficiency = thr(4N) / (4 · thr(N)); per-level best-of-R
@@ -96,6 +97,32 @@ def worker(cpus: int, feed: str) -> None:
     n_scored = LM.unigram_logprob(docs, "text", "doc_id").count()
     t_lm = time.time() - t
 
+    # streaming corpus ingest: fingerprint dedup state + quality gate +
+    # bucketed lake append over the same feed (fresh warehouse +
+    # checkpoint per run; one availableNow batch — the dedup shuffle,
+    # state store, and segment write are the measured work)
+    import shutil
+
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        StreamingCorpusIngest,
+    )
+
+    root = tempfile.mkdtemp(prefix="kcjfs_cstream_")
+    t = time.time()
+    ing = StreamingCorpusIngest(
+        spark,
+        feed,
+        os.path.join(root, "wh"),
+        os.path.join(root, "ckpt"),
+        schema=docs.schema,
+        min_quality=0.2,
+        n_buckets=64,
+    )
+    ing.run_available(timeout_sec=3600)
+    n_ingested = ing.read().count()
+    t_stream = time.time() - t
+    shutil.rmtree(root, ignore_errors=True)
+
     spark.stop()
     print(
         json.dumps(
@@ -107,8 +134,11 @@ def worker(cpus: int, feed: str) -> None:
                 "chunks_total": int(kept.c),
                 "lm_sec": round(t_lm, 2),
                 "lm_docs": n_scored,
+                "stream_sec": round(t_stream, 2),
+                "stream_docs": n_ingested,
                 "docs_per_sec_chunk": round(n_docs / t_chunk, 1),
                 "docs_per_sec_lm": round(n_docs / t_lm, 1),
+                "docs_per_sec_stream": round(n_docs / t_stream, 1),
             }
         )
     )
@@ -132,12 +162,16 @@ def run_level(cpus: int, feed: str, reps: int) -> dict:
         runs.append(rec)
         print(
             f"  local[{cpus}] rep {r}: chunk {rec['chunk_sec']}s "
-            f"lm {rec['lm_sec']}s",
+            f"lm {rec['lm_sec']}s stream {rec['stream_sec']}s",
             flush=True,
         )
-        if best is None or rec["chunk_sec"] + rec["lm_sec"] < best["chunk_sec"] + best["lm_sec"]:
+        if best is None or rec["chunk_sec"] + rec["lm_sec"] + rec["stream_sec"] < (
+            best["chunk_sec"] + best["lm_sec"] + best["stream_sec"]
+        ):
             best = rec
-    best["all_runs"] = [(r["chunk_sec"], r["lm_sec"]) for r in runs]
+    best["all_runs"] = [
+        (r["chunk_sec"], r["lm_sec"], r["stream_sec"]) for r in runs
+    ]
     return best
 
 
@@ -157,7 +191,7 @@ def main():
     lo = run_level(n, feed, reps)
     hi = run_level(n * 4, feed, reps)
     result = {
-        "workload": "chunk_dedup(k=20) + unigram_logprob over amplified documents",
+        "workload": "chunk_dedup(k=20) + unigram_logprob + streaming corpus ingest over amplified documents",
         "docs": lo["docs"],
         "n_cpus": n,
         "n4_cpus": n * 4,
@@ -165,6 +199,9 @@ def main():
             hi["docs_per_sec_chunk"] / (4 * lo["docs_per_sec_chunk"]), 3
         ),
         "lm_eff": round(hi["docs_per_sec_lm"] / (4 * lo["docs_per_sec_lm"]), 3),
+        "stream_eff": round(
+            hi["docs_per_sec_stream"] / (4 * lo["docs_per_sec_stream"]), 3
+        ),
         "lo": lo,
         "hi": hi,
     }
