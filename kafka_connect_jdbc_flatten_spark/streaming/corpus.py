@@ -36,7 +36,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -116,12 +116,14 @@ class StreamingCorpusIngest:
         """
         t0 = time.time()
         feats = text_quality(F.col(self.text_col))
-        # persisted: consumed twice (the docs_in count and the segment
-        # write) — without it the fingerprint/quality exprs re-run
-        scored = batch_df.withColumn(
-            "quality_score", feats["quality_score"]
-        ).persist()
-        n_in = scored.count()
+        # docs_in rides the segment write as an observed metric
+        # (CollectMetrics survives the downstream filter/select), so
+        # the batch is computed in ONE pass — no separate count
+        # action, no persist
+        obs = Observation(f"corpus-{batch_id}")
+        scored = batch_df.observe(
+            obs, F.count(F.lit(1)).alias("docs_in")
+        ).withColumn("quality_score", feats["quality_score"])
         if self.min_quality is not None:
             scored = scored.filter(
                 F.col("quality_score") >= float(self.min_quality)
@@ -143,7 +145,12 @@ class StreamingCorpusIngest:
             batch_id=batch_id,
             writer_id="corpus",
         )
-        scored.unpersist()
+        if st.get("skipped"):
+            # redelivered batch: the ledger short-circuited before any
+            # action ran (obs.get would block forever), and the first
+            # delivery already wrote this batch's lineage record
+            return
+        n_in = int(obs.get["docs_in"])
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.table.compact()
             self.table.vacuum()
