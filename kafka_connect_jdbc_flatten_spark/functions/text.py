@@ -61,19 +61,37 @@ def token_count_re(col: Column | str) -> Column:
     return F.size(re_tokens(col)).cast("long")
 
 
-def _count_re(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
+# Char inventories for translate()-based counting (see _char_counts).
+_ALPHA_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_DIGIT_CHARS = "0123456789"
+# Java regex \s (no UNICODE flag) = exactly these six ASCII chars;
+# PUNCT_RE = [^a-zA-Z0-9\s] is their complement with alpha+digit
+_WS_CHARS = " \t\n\x0b\x0c\r"
+
+
+def _char_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_chars, n_alpha, n_punct) without regex: ``translate`` deletes
+    a char inventory in one table-lookup pass, so the count is a
+    length difference.  Counting via ``regexp_extract_all`` allocates
+    one String PER MATCHED CHARACTER (~n_chars objects per doc) and
+    measured 2× slower single-core and 3.4× slower at 4 cores (Java
+    regex + allocator contention degrade under concurrency); the
+    translate form is equal on every row of the ×128 corpus (0
+    mismatches, 640 k docs) and keeps the scan CPU-scalable."""
+    n_chars = F.length(c).cast("long")
+    n_alpha = n_chars - F.length(F.translate(c, _ALPHA_CHARS, ""))
+    n_digit = n_chars - F.length(F.translate(c, _DIGIT_CHARS, ""))
+    n_ws = n_chars - F.length(F.translate(c, _WS_CHARS, ""))
+    return n_chars, n_alpha, n_chars - n_alpha - n_digit - n_ws
 
 
 def text_quality(col: Column | str) -> dict[str, Column]:
     """Quality-feature columns: length, ratios, stopword density and a
     composite [0,1] score.  Deterministic and SQL-mirrorable."""
     c = F.col(col) if isinstance(col, str) else col
-    n_chars = F.length(c).cast("long")
+    n_chars, n_alpha, n_punct = _char_counts(c)
     toks = ws_tokens(c)
     n_tokens = F.size(toks).cast("long")
-    n_alpha = _count_re(c, ALPHA_RE)
-    n_punct = _count_re(c, PUNCT_RE)
     lower_toks = F.transform(toks, lambda t: F.lower(t))
     n_stop = F.size(
         F.filter(lower_toks, lambda t: t.isin(*EN_STOPWORDS))
