@@ -68,6 +68,7 @@ class StreamingCorpusIngest:
         redact: bool = False,
         ts_col: str | None = None,
         watermark: str = "1 hour",
+        salt_buckets: int | None = None,
         n_buckets: int = 16,
         max_files_per_trigger: int | None = None,
         compact_every: int | None = 16,
@@ -83,6 +84,15 @@ class StreamingCorpusIngest:
         self.redact = redact
         self.ts_col = ts_col
         self.watermark = watermark
+        if salt_buckets is not None and ts_col is not None:
+            # chaining two dropDuplicatesWithinWatermark stateful ops
+            # is not a supported multi-stateful combination; the
+            # watermarked path already bounds per-key state, so salting
+            # is an exact-unwindowed-dedup feature only
+            raise ValueError(
+                "salt_buckets requires the exact (ts_col=None) dedup path"
+            )
+        self.salt_buckets = salt_buckets
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_every = compact_every
         out_schema = T.StructType(
@@ -190,6 +200,28 @@ class StreamingCorpusIngest:
             deduped = enriched.withWatermark(
                 self.ts_col, self.watermark
             ).dropDuplicatesWithinWatermark([FP_COL])
+        elif self.salt_buckets:
+            # Two-phase salted dedup for duplicate-heavy streams (the
+            # web-scale case: one boilerplate page = 10% of the feed).
+            # Stateful dropDuplicates has NO map-side partial combine —
+            # every copy of a hot fingerprint ships its full text to
+            # that fingerprint's one state partition.  Phase 1 dedups
+            # on (fp, salt) so the hot key's traffic spreads over
+            # salt_buckets state partitions; phase 2 then sees at most
+            # salt_buckets rows per fingerprint over the stream's
+            # lifetime.  Output is identical to the unsalted op (same
+            # fp set; winner identity is arrival-order-arbitrary in
+            # both).  State trade: ≤ salt_buckets entries per hot
+            # fingerprint instead of 1.
+            salt = F.pmod(
+                F.xxhash64(F.col(self.id_col)), F.lit(int(self.salt_buckets))
+            )
+            deduped = (
+                enriched.withColumn("_salt", salt)
+                .dropDuplicates([FP_COL, "_salt"])
+                .drop("_salt")
+                .dropDuplicates([FP_COL])
+            )
         else:
             deduped = enriched.dropDuplicates([FP_COL])
         q = (

@@ -1,0 +1,175 @@
+"""Hot-fingerprint skew evidence for the streaming corpus ingest.
+
+Web-scale corpora are duplicate-heavy in the worst way: one
+boilerplate page can be a double-digit percentage of the feed, and
+streaming ``dropDuplicates`` has no map-side partial combine — every
+copy of the hot document ships its full text to that fingerprint's
+single state partition.  This harness synthesizes a feed where ONE
+document accounts for ~50% of all rows (the rest are unique), then
+runs :class:`~kafka_connect_jdbc_flatten_spark.streaming.corpus.
+StreamingCorpusIngest` unsalted vs salted (``salt_buckets``) at two
+parallelism levels on the SAME feed.  Methodology matches
+``scripts/text_scaling_bench.py``: identical job + config per level,
+per-level best-of-R, efficiency = thr(4N) / (4·thr(N)).
+
+Usage:
+    python scripts/stream_skew_bench.py [N=1] [AMP=64] [REPS=2]
+    python scripts/stream_skew_bench.py --worker <cpus> <feed> <salt>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _session(cpus: int, app: str):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName(app)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def prepare_feed(amp: int) -> str:
+    """amp× unique docs + an equal count of copies of ONE hot doc."""
+    from pyspark.sql import functions as F
+
+    spark = _session(32, "stream-skew-prep")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = base.count()
+    uniques = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"),
+        )
+        for i in range(amp)
+    ]
+    uniq = uniques[0]
+    for u in uniques[1:]:
+        uniq = uniq.unionByName(u)
+    hot_text = (
+        base.filter(F.col("text").isNotNull()).limit(1).collect()[0].text
+    )
+    hot = spark.range(amp * n).select(
+        (F.col("id") + F.lit(amp * n * 2)).alias("doc_id"),
+        F.lit(hot_text).alias("text"),
+    )
+    out = tempfile.mkdtemp(prefix="kcjfs_skewfeed_")
+    uniq.unionByName(hot).repartition(128).write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def worker(cpus: int, feed: str, salt: int) -> None:
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        StreamingCorpusIngest,
+    )
+
+    spark = _session(cpus, f"stream-skew-{cpus}-s{salt}")
+    docs = spark.read.parquet(feed)
+    n_docs = docs.count()
+
+    root = tempfile.mkdtemp(prefix="kcjfs_skewrun_")
+    t0 = time.time()
+    ing = StreamingCorpusIngest(
+        spark,
+        feed,
+        os.path.join(root, "wh"),
+        os.path.join(root, "ckpt"),
+        schema=docs.schema,
+        min_quality=0.2,
+        salt_buckets=salt or None,
+        n_buckets=64,
+    )
+    ing.run_available(timeout_sec=3600)
+    n_out = ing.read().count()
+    dt = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "salt": salt,
+                "docs": n_docs,
+                "ingested": n_out,
+                "sec": round(dt, 2),
+                "docs_per_sec": round(n_docs / dt, 1),
+            }
+        )
+    )
+
+
+def run_level(cpus: int, feed: str, salt: int, reps: int) -> dict:
+    best = None
+    for r in range(reps):
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--worker",
+                str(cpus),
+                feed,
+                str(salt),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        print(
+            f"  local[{cpus}] salt={salt} rep {r}: {rec['sec']}s "
+            f"({rec['ingested']} rows)",
+            flush=True,
+        )
+        if best is None or rec["sec"] < best["sec"]:
+            best = rec
+    return best
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    amp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    t0 = time.time()
+    print(f"preparing skewed feed: sf0.1 × {amp} unique + equal hot ...",
+          flush=True)
+    feed = prepare_feed(amp)
+    print(f"feed ready in {time.time()-t0:.0f}s at {feed}", flush=True)
+    result = {"workload": "streaming corpus ingest, ~50% single-hot-fp feed"}
+    for salt in (0, 32):
+        lo = run_level(n, feed, salt, reps)
+        hi = run_level(n * 4, feed, salt, reps)
+        result[f"salt{salt}"] = {
+            "lo": lo,
+            "hi": hi,
+            "eff": round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

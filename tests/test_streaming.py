@@ -666,3 +666,68 @@ def test_streaming_corpus_watermarked_dedup(spark, tmp_path):
     ing.run_available(timeout_sec=600)
     got = sorted(r.doc_id for r in ing.read().collect())
     assert got == [1, 3]
+
+
+def test_streaming_corpus_salted_dedup(spark, tmp_path):
+    """salt_buckets chains (fp, salt) → fp dedup: a duplicate-heavy
+    feed (one hot document) still yields exactly one row per distinct
+    fingerprint, across micro-batches and restart."""
+    import pyspark.sql.types as T
+
+    import pytest
+
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        StreamingCorpusIngest,
+    )
+
+    feed = str(tmp_path / "feed")
+    hot = "the same boilerplate page text scraped from everywhere daily"
+    # batch 1: hot doc under many ids + one unique doc
+    _docs_chunk(
+        spark,
+        [(i, hot) for i in range(1, 9)]
+        + [(20, "a unique long and wordy document body number twenty")],
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # batch 2: more hot copies + another unique doc
+    _docs_chunk(
+        spark,
+        [(i, hot) for i in range(30, 36)]
+        + [(40, "another unique long and wordy document body forty")],
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    ing = StreamingCorpusIngest(
+        spark, feed, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        schema=schema, salt_buckets=4, max_files_per_trigger=1, n_buckets=4,
+    )
+    ing.run_available(timeout_sec=600)
+    rows = ing.read().collect()
+    assert len(rows) == 3  # hot fp once + the two uniques
+    assert len({r.fp for r in rows}) == 3
+    assert sum(r.text == hot for r in rows) == 1
+
+    # restart with a cross-restart duplicate of the hot doc: phase-1
+    # AND phase-2 state both resume from the checkpoint
+    _docs_chunk(
+        spark,
+        [(50, hot), (51, "yet another distinct wordy document body")],
+    ).coalesce(1).write.mode("append").parquet(feed)
+    ing2 = StreamingCorpusIngest(
+        spark, feed, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        schema=schema, salt_buckets=4, max_files_per_trigger=1, n_buckets=4,
+    )
+    ing2.run_available(timeout_sec=600)
+    rows2 = ing2.read().collect()
+    assert sorted(r.doc_id for r in rows2 if r.text != hot) == [20, 40, 51]
+    assert sum(r.text == hot for r in rows2) == 1
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        StreamingCorpusIngest(
+            spark, feed, str(tmp_path / "wh2"), str(tmp_path / "ckpt2"),
+            schema=schema, ts_col="ts", salt_buckets=4,
+        )
