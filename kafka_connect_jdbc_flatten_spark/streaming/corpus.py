@@ -177,11 +177,10 @@ class StreamingCorpusIngest:
         os.rename(tmp, os.path.join(self.lineage_dir, f"batch-{batch_id}.json"))
 
     # ------------------------------------------------------------------
-    def run_available(self, timeout_sec: int | None = None) -> list[dict]:
-        """Process everything currently in ``docs_dir``, then stop.
-        Restart-safe: the checkpoint resumes the file-source offsets
-        AND the dedup state; redelivered batches are skipped by the
-        table ledger."""
+    def dedup_stream(self) -> DataFrame:
+        """The source→fingerprint→stateful-dedup streaming DataFrame
+        (everything upstream of the ``foreachBatch`` sink); exposed so
+        tests can pin the plan shape."""
         reader = self.spark.readStream.schema(self.schema)
         if self.max_files_per_trigger:
             reader = reader.option(
@@ -224,8 +223,15 @@ class StreamingCorpusIngest:
             )
         else:
             deduped = enriched.dropDuplicates([FP_COL])
+        return deduped
+
+    def run_available(self, timeout_sec: int | None = None) -> list[dict]:
+        """Process everything currently in ``docs_dir``, then stop.
+        Restart-safe: the checkpoint resumes the file-source offsets
+        AND the dedup state; redelivered batches are skipped by the
+        table ledger."""
         q = (
-            deduped.writeStream.foreachBatch(self._apply)
+            self.dedup_stream().writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()

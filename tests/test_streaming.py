@@ -731,3 +731,41 @@ def test_streaming_corpus_salted_dedup(spark, tmp_path):
             spark, feed, str(tmp_path / "wh2"), str(tmp_path / "ckpt2"),
             schema=schema, ts_col="ts", salt_buckets=4,
         )
+
+
+def test_streaming_corpus_dedup_plan_shape(spark, tmp_path):
+    """Plan pins: salted config = exactly two stateful Deduplicate
+    operators, (fp, _salt) then (fp); unsalted = one."""
+    import pyspark.sql.types as T
+
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        StreamingCorpusIngest,
+    )
+
+    feed = str(tmp_path / "feed")
+    _docs_chunk(spark, [(1, "a wordy doc")]).coalesce(1).write.parquet(feed)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    salted = StreamingCorpusIngest(
+        spark, feed, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+        schema=schema, salt_buckets=8, n_buckets=4,
+    ).dedup_stream()
+    plan = salted._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Deduplicate") == 2
+    # top-down print: the final fp-only dedup sits ABOVE the
+    # (fp, _salt) phase-1 dedup
+    import re
+
+    dedups = re.findall(r"Deduplicate \[[^\]]*\]", plan)
+    assert "_salt" not in dedups[0] and "_salt" in dedups[1], dedups
+
+    plain = StreamingCorpusIngest(
+        spark, feed, str(tmp_path / "wh2"), str(tmp_path / "ckpt2"),
+        schema=schema, n_buckets=4,
+    ).dedup_stream()
+    plan2 = plain._jdf.queryExecution().analyzed().toString()
+    assert plan2.count("Deduplicate") == 1
