@@ -20,6 +20,11 @@ Subcommands:
   ``--follow``), flatten + MERGE into the warehouse, print lineage.
 * ``gen-feed`` — materialize the deterministic synthetic changelog
   fixture from a testdata sf directory into binlog segment files.
+* ``corpus-prep`` — batch training-corpus prep (quality ∧ dedup ∧
+  cluster filter, optional decontamination / PII / packing manifest).
+* ``corpus-stream`` — continuous corpus ingest: stateful fingerprint
+  dedup (salted / RocksDB options) → quality gate → exactly-once
+  lake append.
 """
 
 from __future__ import annotations
@@ -87,6 +92,45 @@ def cmd_gen_feed(args: argparse.Namespace) -> int:
     changelog = transcript_changelog(spark, args.sf_dir)
     paths = write_changelog_chunks(changelog, args.out, n_chunks=args.chunks)
     print(json.dumps({"chunks": paths, "events": changelog.count()}))
+    return 0
+
+
+def cmd_corpus_stream(args: argparse.Namespace) -> int:
+    """Continuous corpus ingest as a submit-able job: document stream
+    → stateful fingerprint dedup (optionally salted for hot
+    fingerprints, optionally RocksDB-backed state) → quality gate →
+    exactly-once lake append (``streaming/corpus.py``)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .streaming.corpus import StreamingCorpusIngest, use_rocksdb_state
+
+    spark = _spark("kcjfs-corpus-stream")
+    if args.rocksdb_state:
+        use_rocksdb_state(spark)
+    schema = spark.read.parquet(args.docs_dir).schema
+    ing = StreamingCorpusIngest(
+        spark,
+        args.docs_dir,
+        args.warehouse,
+        args.checkpoint,
+        schema=schema,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_quality=args.min_quality,
+        redact=args.redact_pii,
+        ts_col=args.ts_col,
+        watermark=args.watermark,
+        salt_buckets=args.salt_buckets,
+        n_buckets=args.buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    stats = ing.run_available(timeout_sec=args.timeout)
+    summary = {
+        "batches": len(stats),
+        "docs_in": sum(s["docs_in"] for s in stats),
+        "rows": ing.read().count(),
+    }
+    print(json.dumps(summary))
     return 0
 
 
@@ -266,6 +310,36 @@ def main(argv: list[str] | None = None) -> int:
         "chunk size; cleaned text is written and packed",
     )
     pc.set_defaults(fn=cmd_corpus_prep)
+
+    ps = sub.add_parser(
+        "corpus-stream",
+        help="streaming document ingest: dedup + quality gate → lake",
+    )
+    ps.add_argument("--docs-dir", required=True, help="document parquet dir")
+    ps.add_argument("--warehouse", required=True)
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--id-col", default="doc_id")
+    ps.add_argument("--text-col", default="text")
+    ps.add_argument("--min-quality", type=float, default=None)
+    ps.add_argument("--ts-col", default=None,
+                    help="event-time col: dedup within --watermark only")
+    ps.add_argument("--watermark", default="1 hour")
+    ps.add_argument(
+        "--salt-buckets", type=int, default=None,
+        help="two-phase (fp, salt)->fp dedup for duplicate-heavy feeds",
+    )
+    ps.add_argument("--buckets", type=int, default=64)
+    ps.add_argument("--max-files-per-trigger", type=int, default=None)
+    ps.add_argument("--timeout", type=int, default=3600)
+    ps.add_argument(
+        "--redact-pii", action="store_true",
+        help="scrub email/IPv4/phone spans before the lake append",
+    )
+    ps.add_argument(
+        "--rocksdb-state", action="store_true",
+        help="RocksDB state store (unbounded corpus-lifetime dedup)",
+    )
+    ps.set_defaults(fn=cmd_corpus_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -45,6 +45,25 @@ from ..lake.table import SEQ_COL, LakeTable
 
 FP_COL = "fp"
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch streaming state to the RocksDB provider (session-wide;
+    read at query start).  The default HDFS-backed provider holds each
+    partition's state map on-heap — fine for bounded/watermarked
+    dedup, but an unwindowed corpus-lifetime fingerprint set at
+    10^10+ documents belongs in RocksDB, where state is on local disk
+    with a block cache and snapshot/changelog checkpointing.  Proven
+    working in this environment by
+    ``test_streaming_corpus_rocksdb_state``."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+
 
 class StreamingCorpusIngest:
     """Continuous document ingest with exact streaming dedup.

@@ -270,6 +270,36 @@ def test_cli_corpus_prep_end_to_end(spark, tmp_path):
     assert set(pack.columns) >= {"doc_id", "shard", "tok_offset", "first_window"}
 
 
+def test_cli_corpus_stream_end_to_end(spark, tmp_path, capsys):
+    """corpus-stream subcommand: streaming dedup + quality gate +
+    lake append driven entirely from the CLI surface (salted path)."""
+    import json as _json
+
+    from kafka_connect_jdbc_flatten_spark import cli
+    from kafka_connect_jdbc_flatten_spark.lake.table import LakeTable
+
+    wh = str(tmp_path / "wh")
+    rc = cli.main([
+        "corpus-stream",
+        "--docs-dir", "/root/testdata/sf0.001/documents.parquet",
+        "--warehouse", wh,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--min-quality", "0.2",
+        "--salt-buckets", "4",
+        "--buckets", "4",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["batches"] >= 1
+    table = LakeTable(spark, wh + "/documents_clean")
+    rows = table.read()
+    n = rows.count()
+    assert 0 < n <= summary["docs_in"]
+    assert n == summary["rows"]
+    # corpus-wide fingerprint dedup held
+    assert rows.select("fp").distinct().count() == n
+
+
 def test_cluster_rep_is_min_quality_passing_member(spark):
     """r2 advisory (low): the cluster representative must be chosen
     among QUALITY-PASSING members — an unconditional min-id canonical

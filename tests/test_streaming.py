@@ -733,6 +733,48 @@ def test_streaming_corpus_salted_dedup(spark, tmp_path):
         )
 
 
+def test_streaming_corpus_rocksdb_state(spark, tmp_path):
+    """The RocksDB state-store provider (the 100 TB unwindowed-dedup
+    configuration) runs the same pipeline with identical results."""
+    import pyspark.sql.types as T
+
+    from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
+        ROCKSDB_PROVIDER,
+        StreamingCorpusIngest,
+        use_rocksdb_state,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        use_rocksdb_state(spark)
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        feed = str(tmp_path / "feed")
+        _docs_chunk(
+            spark,
+            [(i, f"wordy document body number {i % 3}") for i in range(12)],
+        ).coalesce(1).write.parquet(feed)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+        ing = StreamingCorpusIngest(
+            spark, feed, str(tmp_path / "wh"), str(tmp_path / "ckpt"),
+            schema=schema, n_buckets=4,
+        )
+        ing.run_available(timeout_sec=600)
+        rows = ing.read().collect()
+        assert len(rows) == 3
+        assert len({r.fp for r in rows}) == 3
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_streaming_corpus_dedup_plan_shape(spark, tmp_path):
     """Plan pins: salted config = exactly two stateful Deduplicate
     operators, (fp, _salt) then (fp); unsalted = one."""
