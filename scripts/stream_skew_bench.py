@@ -12,9 +12,17 @@ parallelism levels on the SAME feed.  Methodology matches
 ``scripts/text_scaling_bench.py``: identical job + config per level,
 per-level best-of-R, efficiency = thr(4N) / (4·thr(N)).
 
+The optional count-only sink (``--sinks lake,count``) replaces the
+bucketed lake append with a ``foreachBatch`` row count, isolating the
+stateful dedup from the write path: unsalted stays skew-bound even
+with no sink (the hot fingerprint's one state partition is the
+bottleneck), while the salted dedup alone clears the ≥0.8 bar —
+pinning "the residual is the single-disk write, not the dedup" with a
+measurement instead of an argument.
+
 Usage:
-    python scripts/stream_skew_bench.py [N=1] [AMP=64] [REPS=2]
-    python scripts/stream_skew_bench.py --worker <cpus> <feed> <salt>
+    python scripts/stream_skew_bench.py [N=1] [AMP=64] [REPS=2] [--sinks lake,count]
+    python scripts/stream_skew_bench.py --worker <cpus> <feed> <salt> <sink>
 """
 
 from __future__ import annotations
@@ -80,12 +88,12 @@ def prepare_feed(amp: int) -> str:
     return out
 
 
-def worker(cpus: int, feed: str, salt: int) -> None:
+def worker(cpus: int, feed: str, salt: int, sink: str = "lake") -> None:
     from kafka_connect_jdbc_flatten_spark.streaming.corpus import (
         StreamingCorpusIngest,
     )
 
-    spark = _session(cpus, f"stream-skew-{cpus}-s{salt}")
+    spark = _session(cpus, f"stream-skew-{cpus}-s{salt}-{sink}")
     docs = spark.read.parquet(feed)
     n_docs = docs.count()
 
@@ -101,8 +109,30 @@ def worker(cpus: int, feed: str, salt: int) -> None:
         salt_buckets=salt or None,
         n_buckets=64,
     )
-    ing.run_available(timeout_sec=3600)
-    n_out = ing.read().count()
+    if sink == "count":
+        # dedup only — same source, fingerprint, and stateful op(s) as
+        # the lake run, but the sink just counts the surviving rows
+        counts: list[int] = []
+        q = (
+            ing.dedup_stream()
+            .writeStream.foreachBatch(
+                lambda df, bid: counts.append(df.count())
+            )
+            .option(
+                "checkpointLocation", os.path.join(root, "ckpt-count")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(3600)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        n_out = sum(counts)
+    else:
+        ing.run_available(timeout_sec=3600)
+        n_out = ing.read().count()
     dt = time.time() - t0
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
@@ -111,6 +141,7 @@ def worker(cpus: int, feed: str, salt: int) -> None:
             {
                 "cpus": cpus,
                 "salt": salt,
+                "sink": sink,
                 "docs": n_docs,
                 "ingested": n_out,
                 "sec": round(dt, 2),
@@ -120,7 +151,9 @@ def worker(cpus: int, feed: str, salt: int) -> None:
     )
 
 
-def run_level(cpus: int, feed: str, salt: int, reps: int) -> dict:
+def run_level(
+    cpus: int, feed: str, salt: int, reps: int, sink: str = "lake"
+) -> dict:
     best = None
     for r in range(reps):
         out = subprocess.run(
@@ -131,6 +164,7 @@ def run_level(cpus: int, feed: str, salt: int, reps: int) -> dict:
                 str(cpus),
                 feed,
                 str(salt),
+                sink,
             ],
             capture_output=True,
             text=True,
@@ -138,7 +172,7 @@ def run_level(cpus: int, feed: str, salt: int, reps: int) -> dict:
         )
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         print(
-            f"  local[{cpus}] salt={salt} rep {r}: {rec['sec']}s "
+            f"  local[{cpus}] salt={salt} sink={sink} rep {r}: {rec['sec']}s "
             f"({rec['ingested']} rows)",
             flush=True,
         )
@@ -149,25 +183,38 @@ def run_level(cpus: int, feed: str, salt: int, reps: int) -> dict:
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        worker(
+            int(sys.argv[2]),
+            sys.argv[3],
+            int(sys.argv[4]),
+            sys.argv[5] if len(sys.argv) > 5 else "lake",
+        )
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    amp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--sinks")]
+    sinks = ["lake"]
+    for a in sys.argv[1:]:
+        if a.startswith("--sinks"):
+            sinks = a.split("=", 1)[1].split(",")
+    n = int(args[0]) if len(args) > 0 else 1
+    amp = int(args[1]) if len(args) > 1 else 64
+    reps = int(args[2]) if len(args) > 2 else 2
     t0 = time.time()
     print(f"preparing skewed feed: sf0.1 × {amp} unique + equal hot ...",
           flush=True)
     feed = prepare_feed(amp)
     print(f"feed ready in {time.time()-t0:.0f}s at {feed}", flush=True)
     result = {"workload": "streaming corpus ingest, ~50% single-hot-fp feed"}
-    for salt in (0, 32):
-        lo = run_level(n, feed, salt, reps)
-        hi = run_level(n * 4, feed, salt, reps)
-        result[f"salt{salt}"] = {
-            "lo": lo,
-            "hi": hi,
-            "eff": round(hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3),
-        }
+    for sink in sinks:
+        for salt in (0, 32):
+            lo = run_level(n, feed, salt, reps, sink)
+            hi = run_level(n * 4, feed, salt, reps, sink)
+            result[f"{sink}_salt{salt}"] = {
+                "lo": lo,
+                "hi": hi,
+                "eff": round(
+                    hi["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3
+                ),
+            }
     print(json.dumps(result))
 
 
