@@ -31,6 +31,8 @@ from kafka_connect_jdbc_flatten_spark.functions import similarity as SIM
 from kafka_connect_jdbc_flatten_spark.functions import text as TX
 from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
     attach_fake_blob,
+    attach_png_blob,
+    decode_png_meta,
     fake_decode_meta,
     frame_sample,
 )
@@ -1390,6 +1392,43 @@ FROM d
 """
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no optional deps: every document row gets a
+    deterministic synthetic PNG (gray, ``width = 4 + doc_id % 13``,
+    ``height = 3 + doc_id % 7``, flat pixel ``i = (doc_id*7 + i) %
+    256``, scanline filter ``row % 5`` so all five unfilter paths
+    run), and the pure-stdlib codec (`functions/png.py` — zlib
+    inflate, chunk CRC checks, Sub/Up/Average/Paeth reversal) decodes
+    it back inside Arrow ``mapInPandas`` batches.  The DuckDB oracle
+    cannot decode PNG — it computes the SAME statistics from the
+    closed-form pixel rule, so any decode bug (wrong filter reversal,
+    wrong stride, wrong inflate handling) breaks the integer-exact
+    ``px_sum`` hash match.  The codec is additionally pixel-exact
+    against Spark's independent JVM ImageIO decoder
+    (tests/test_functions.py)."""
+    docs = attach_png_blob(_read(spark, sf_dir, "documents"))
+    return decode_png_meta(docs).drop("px_md5")
+
+
+PNG_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         (4 + doc_id % 13)::INT AS width,
+         (3 + doc_id % 7)::INT AS height
+  FROM documents
+)
+SELECT d.doc_id,
+       d.width,
+       d.height,
+       1::INT AS channels,
+       8::INT AS bit_depth,
+       SUM((d.doc_id * 7 + r.i) % 256)::BIGINT AS px_sum,
+       COUNT(*)::BIGINT AS n_px
+FROM d, UNNEST(range(0, d.width * d.height)) AS r(i)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming document ingest (extension layer meets the streaming
     runtime): file-source micro-batches → stateful streaming
@@ -1505,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "png_decode": q_png_decode,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
     }
 
@@ -1575,5 +1615,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": EMB_NEARDUP_SQL,  # n_planes=0 ⇒ all pairs
         "multimodal_meta": MULTIMODAL_META_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+        "png_decode": PNG_DECODE_SQL,
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
     }

@@ -6,18 +6,22 @@ metadata struct (``MEDIA_META_SCHEMA``).  All heavy per-item work
 ``mapInPandas`` — batches of bytes cross the JVM→Python boundary once
 per Arrow batch, never per row.
 
-The decode step itself is STUBBED in this environment (no PIL/ffmpeg
-in the container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless the optional libraries import, and the
-test path uses ``fake_decode_meta`` — a deterministic pure-bytes
-"decoder" (length + header peek + md5) so the Spark-side plumbing
-(schemas, batch shapes, partitioning) is real and fully tested.
+Decoders: **PNG decode is REAL and dependency-free** —
+:func:`decode_png_meta` runs the pure-stdlib codec in
+:mod:`.png` (zlib inflate + all five scanline unfilters) inside the
+Arrow batches, pixel-exact against Spark's independent JVM ImageIO
+``image`` data source (see ``test_functions.py``).  The generic
+any-format ``decode_image`` stays PIL-guarded (no PIL/ffmpeg in the
+container) with ``fake_decode_meta`` — a deterministic pure-bytes
+"decoder" (length + header peek + md5) — covering the plumbing for
+formats whose codecs genuinely aren't installable here.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,6 +98,83 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blo
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, FAKE_META_SCHEMA)
+
+
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("px_md5", T.StringType(), True),
+    ]
+)
+
+
+def attach_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG fixture: each row gets a gray PNG whose
+    shape and pixels are a closed-form function of its id —
+    ``width = 4 + id % 13``, ``height = 3 + id % 7``, flat pixel
+    ``i = (id*7 + i) % 256`` — encoded with scanline filter
+    ``row % 5`` so every unfilter path runs.  The closed form is what
+    lets a SQL oracle check the DECODED statistics without being able
+    to decode PNG itself."""
+    import numpy as np
+
+    from .png import encode_png
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 4 + i % 13, 3 + i % 7
+            flat = (np.arange(w * h, dtype=np.int64) + i * 7) % 256
+            out.append(encode_png(flat.astype(np.uint8).reshape(h, w)))
+        return pd.Series(out)
+
+    return df.withColumn("blob", synth(F.col(id_col)))
+
+
+def decode_png_meta(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL image decode over a binary column, no optional deps: the
+    pure-stdlib PNG codec (:mod:`.png` — zlib inflate, chunk CRCs,
+    all five scanline unfilters) runs inside Arrow ``mapInPandas``
+    batches and emits per-image shape + exact pixel statistics
+    (``px_sum``/``n_px`` are integers, so the DuckDB gate is
+    hash-exact) + an md5 of the decoded sample bytes.  Upgrades the
+    ``fake_decode_meta`` stub for PNG payloads; the batch shape,
+    schema contract, and partitioning are identical, so swapping in a
+    codec-library decoder for other formats is a per-batch body
+    change only."""
+    import hashlib
+
+    import pandas as pd
+
+    from .png import decode_png
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            cols = {k.name: [] for k in PNG_META_SCHEMA.fields}
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                a = decode_png(bytes(b))
+                h, w, c = a.shape
+                cols["doc_id"].append(int(i))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["channels"].append(c)
+                cols["bit_depth"].append(8)
+                cols["px_sum"].append(int(a.sum(dtype="int64")))
+                cols["n_px"].append(h * w * c)
+                cols["px_md5"].append(hashlib.md5(a.tobytes()).hexdigest())
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, blob_col).mapInPandas(batches, PNG_META_SCHEMA)
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:

@@ -9,8 +9,38 @@ slow path).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package for ``SparkContext.addPyFile`` — the local-mode
+    equivalent of ``spark-submit --py-files``.  Python workers do NOT
+    inherit a driver-side ``sys.path.insert`` (a pandas-UDF closure
+    referencing any module-level function of this package would die
+    with ModuleNotFoundError when the driver runs outside the repo),
+    and on a real cluster the executors need the code shipped anyway.
+    Built once per process, cached."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        fd, path = tempfile.mkstemp(suffix=".zip", prefix="kcjfs_pkg_")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        _PKG_ZIP = path
+    return _PKG_ZIP
 
 
 def get_spark(
@@ -63,4 +93,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ship the package to the Python workers (--py-files equivalent);
+    # same path per process ⇒ repeat calls are a no-op
+    spark.sparkContext.addPyFile(_package_zip())
     return spark

@@ -559,6 +559,114 @@ def test_decode_image_real_png_when_pil_available(spark):
     assert got == {1: (8, 6, "RGB"), 2: (3, 5, "RGB")}
 
 
+# ------------------------------------------------------------- png codec
+def test_png_codec_roundtrip_all_filters_and_channels():
+    """The pure-stdlib codec round-trips every (channels, filter)
+    combination — gray, gray+alpha, RGB, RGBA × None/Sub/Up/Average/
+    Paeth — plus the mixed row%5 default."""
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        for h, w in ((1, 1), (5, 9), (16, 7)):
+            a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            for f in (0, 1, 2, 3, 4):
+                got = decode_png(encode_png(a, lambda y, f=f: f))
+                assert np.array_equal(got, a), (c, h, w, f)
+            assert np.array_equal(decode_png(encode_png(a)), a)
+
+
+def test_png_decoder_matches_jvm_imageio(spark):
+    """Cross-decoder validation against an INDEPENDENT implementation:
+    Spark's JVM ImageIO `image` data source decodes the same
+    externally-produced PNG files (shipped with the Spark distro) and
+    must agree byte-for-byte — this rules out a symmetric
+    encoder/decoder bug that a round-trip alone would hide."""
+    import glob
+
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.png import decode_png
+
+    paths = sorted(
+        glob.glob("/opt/spark-*/data/mllib/images/origin/multi-channel/BGRA*.png")
+    )
+    if not paths:
+        pytest.skip("Spark sample images not present in this install")
+    for p in paths:
+        img = spark.read.format("image").load(p).collect()[0].image
+        with open(p, "rb") as f:
+            mine = decode_png(f.read())
+        assert mine.shape == (img.height, img.width, img.nChannels)
+        assert img.mode == 24  # CV_8UC4: JVM data is BGRA-ordered
+        bgra = mine.reshape(-1, 4)[:, [2, 1, 0, 3]].reshape(-1)
+        jvm = np.frombuffer(bytes(img.data), dtype=np.uint8)
+        assert np.array_equal(bgra, jvm), p
+
+
+def test_png_decoder_rejects_malformed():
+    """Bad signature, corrupted chunk CRC, and unsupported interlacing
+    all raise with the reason instead of returning wrong pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.arange(12, dtype=np.uint8).reshape(3, 4))
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + good[4:])
+
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # inside IHDR data, CRC now wrong
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+    inter = bytearray(good)
+    inter[28] = 1  # IHDR interlace byte (8 sig + 8 len/type + 12)
+    crc = zlib.crc32(bytes(inter[12:29])) & 0xFFFFFFFF  # type+data
+    inter[29:33] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(inter))
+
+
+def test_png_decode_meta_matches_closed_form(spark):
+    """attach_png_blob → decode_png_meta (the real-decode Arrow
+    pipeline) reproduces the closed-form pixel rule the DuckDB gate
+    uses, including the md5 of the decoded sample bytes."""
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_png_blob,
+        decode_png_meta,
+    )
+
+    ids = [0, 1, 12, 90, 255]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r for r in decode_png_meta(attach_png_blob(df)).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        w, h = 4 + i % 13, 3 + i % 7
+        flat = ((np.arange(w * h, dtype=np.int64) + i * 7) % 256).astype(
+            np.uint8
+        )
+        r = got[i]
+        assert (r.width, r.height, r.channels, r.bit_depth) == (w, h, 1, 8)
+        assert r.px_sum == int(flat.sum(dtype="int64"))
+        assert r.n_px == w * h
+        assert r.px_md5 == hashlib.md5(flat.tobytes()).hexdigest()
+
+
 # ------------------------------------------------- decontam / pii / mixing
 def test_contaminated_docs_hand_fixture(spark):
     """Decontamination: docs sharing ≥1 word-8-gram with the benchmark
