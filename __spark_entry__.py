@@ -32,7 +32,9 @@ from kafka_connect_jdbc_flatten_spark.functions import text as TX
 from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
     attach_fake_blob,
     attach_png_blob,
+    attach_wav_blob,
     decode_png_meta,
+    decode_wav_meta,
     fake_decode_meta,
     frame_sample,
 )
@@ -1429,6 +1431,37 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no optional deps: every document row gets a
+    deterministic synthetic PCM WAV (mono 16-bit 8 kHz, ``n_frames =
+    64 + doc_id % 129``, sample ``i = ((doc_id*31 + i*17) % 65536) -
+    32768``) and the pure-stdlib RIFF parser (`functions/wav.py`,
+    byte-exact against Python's independent stdlib ``wave`` module)
+    decodes it back inside Arrow ``mapInPandas`` batches.  The DuckDB
+    oracle recomputes the same integer sample statistics from the
+    closed form, so a parsing bug (wrong chunk walk, wrong dtype,
+    wrong frame split) breaks the exact ``amp_sum`` hash match."""
+    docs = attach_wav_blob(_read(spark, sf_dir, "documents"))
+    return decode_wav_meta(docs).drop("pcm_md5")
+
+
+WAV_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id, (64 + doc_id % 129)::BIGINT AS n_frames
+  FROM documents
+)
+SELECT d.doc_id,
+       8000::INT AS sample_rate,
+       1::INT AS channels,
+       16::INT AS bits,
+       d.n_frames,
+       (d.n_frames * 1000) // 8000 AS duration_ms,
+       SUM((d.doc_id * 31 + r.i * 17) % 65536 - 32768)::BIGINT AS amp_sum
+FROM d, UNNEST(range(0, d.n_frames)) AS r(i)
+GROUP BY 1, 5
+"""
+
+
 def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming document ingest (extension layer meets the streaming
     runtime): file-source micro-batches → stateful streaming
@@ -1545,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "png_decode": q_png_decode,
+        "wav_decode": q_wav_decode,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
     }
 
@@ -1616,5 +1650,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": MULTIMODAL_META_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "png_decode": PNG_DECODE_SQL,
+        "wav_decode": WAV_DECODE_SQL,
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
     }

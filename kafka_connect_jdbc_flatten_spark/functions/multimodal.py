@@ -177,6 +177,75 @@ def decode_png_meta(
     return df.select(id_col, blob_col).mapInPandas(batches, PNG_META_SCHEMA)
 
 
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("amp_sum", T.LongType(), True),
+        T.StructField("pcm_md5", T.StringType(), True),
+    ]
+)
+
+
+def attach_wav_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-WAV fixture: mono 16-bit PCM at 8 kHz with
+    ``n_frames = 64 + id % 129`` and sample ``i = ((id*31 + i*17) %
+    65536) - 32768`` — closed-form so a SQL oracle can check the
+    DECODED sample statistics without parsing RIFF itself."""
+    import numpy as np
+
+    from .wav import encode_wav
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = 64 + i % 129
+            s = ((np.arange(n, dtype=np.int64) * 17 + i * 31) % 65536) - 32768
+            out.append(encode_wav(s.astype(np.int16), 8000, 16))
+        return pd.Series(out)
+
+    return df.withColumn("blob", synth(F.col(id_col)))
+
+
+def decode_wav_meta(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL audio decode over a binary column, no optional deps: the
+    pure-stdlib RIFF/PCM parser (:mod:`.wav` — chunk walk, fmt
+    contract validation, PCM extraction; byte-exact against Python's
+    independent stdlib ``wave`` implementation) runs inside Arrow
+    ``mapInPandas`` batches and emits per-clip shape + exact integer
+    sample statistics + an md5 of the PCM bytes.  The audio analogue
+    of :func:`decode_png_meta`."""
+    import hashlib
+
+    from .wav import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            cols = {k.name: [] for k in WAV_META_SCHEMA.fields}
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                sr, bits, s = decode_wav(bytes(b))
+                n, ch = s.shape
+                cols["doc_id"].append(int(i))
+                cols["sample_rate"].append(sr)
+                cols["channels"].append(ch)
+                cols["bits"].append(bits)
+                cols["n_frames"].append(n)
+                cols["duration_ms"].append(n * 1000 // sr)
+                cols["amp_sum"].append(int(s.sum(dtype="int64")))
+                cols["pcm_md5"].append(hashlib.md5(s.tobytes()).hexdigest())
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, blob_col).mapInPandas(batches, WAV_META_SCHEMA)
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
     """Decode image binaries to (width, height, mode).  STUB: requires
     PIL, which is not in this container."""

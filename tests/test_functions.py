@@ -667,6 +667,104 @@ def test_png_decode_meta_matches_closed_form(spark):
         assert r.px_md5 == hashlib.md5(flat.tobytes()).hexdigest()
 
 
+# ------------------------------------------------------------- wav codec
+def test_wav_codec_roundtrip_and_stdlib_cross_check():
+    """Round-trip across (channels × bits), plus byte-exact agreement
+    with Python's INDEPENDENT stdlib `wave` implementation in both
+    directions (our decoder on wave-written files, wave on ours)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        for n in (1, 7, 500):
+            for bits in (8, 16):
+                if bits == 16:
+                    a = rng.integers(-32768, 32768, size=(n, ch)).astype(
+                        np.int16
+                    )
+                else:
+                    a = rng.integers(0, 256, size=(n, ch)).astype(np.uint8)
+                b = encode_wav(a, 8000, bits)
+                sr, bt, d = decode_wav(b)
+                assert (sr, bt) == (8000, bits) and np.array_equal(d, a)
+                w = wave.open(io.BytesIO(b))
+                assert (
+                    w.getnchannels(),
+                    w.getsampwidth() * 8,
+                    w.getframerate(),
+                    w.getnframes(),
+                ) == (ch, bits, 8000, n)
+                assert w.readframes(n) == a.tobytes()
+                buf = io.BytesIO()
+                ww = wave.open(buf, "wb")
+                ww.setnchannels(ch)
+                ww.setsampwidth(bits // 8)
+                ww.setframerate(8000)
+                ww.writeframes(a.tobytes())
+                ww.close()
+                sr2, bt2, d2 = decode_wav(buf.getvalue())
+                assert (sr2, bt2) == (8000, bits) and np.array_equal(d2, a)
+
+
+def test_wav_decoder_rejects_malformed():
+    import struct
+
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(np.arange(10, dtype=np.int16))
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNK" + good[4:])
+
+    nonpcm = bytearray(good)
+    nonpcm[20:22] = struct.pack("<H", 3)  # fmt tag: IEEE float
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(nonpcm))
+
+    with pytest.raises(ValueError, match="missing data"):
+        decode_wav(good[:36])  # fmt only, data chunk gone
+
+
+def test_wav_decode_meta_matches_closed_form(spark):
+    """attach_wav_blob → decode_wav_meta (the real audio-decode Arrow
+    pipeline) reproduces the closed-form sample rule the DuckDB gate
+    uses, including the md5 of the PCM bytes."""
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_wav_blob,
+        decode_wav_meta,
+    )
+
+    ids = [0, 1, 128, 4000]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r for r in decode_wav_meta(attach_wav_blob(df)).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        n = 64 + i % 129
+        s = (((np.arange(n, dtype=np.int64) * 17 + i * 31) % 65536) - 32768).astype(
+            np.int16
+        )
+        r = got[i]
+        assert (r.sample_rate, r.channels, r.bits, r.n_frames) == (8000, 1, 16, n)
+        assert r.duration_ms == n * 1000 // 8000
+        assert r.amp_sum == int(s.sum(dtype="int64"))
+        assert r.pcm_md5 == hashlib.md5(s.tobytes()).hexdigest()
+
+
 # ------------------------------------------------- decontam / pii / mixing
 def test_contaminated_docs_hand_fixture(spark):
     """Decontamination: docs sharing ≥1 word-8-gram with the benchmark
