@@ -1431,6 +1431,47 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: synthetic closed-form PNG →
+    `resize_png` (decode → stride-2 nearest-neighbor downsample →
+    re-ENCODE, all inside the Arrow batches) → `decode_png_meta` on
+    the resized blobs.  Both codec directions run on the workers; the
+    DuckDB oracle recomputes the downsampled integer pixel statistics
+    directly from the closed-form rule (kept pixel (y, x) came from
+    source flat index 2y·w + 2x)."""
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        resize_png,
+    )
+
+    docs = attach_png_blob(_read(spark, sf_dir, "documents"))
+    return decode_png_meta(resize_png(docs, factor=2)).drop("px_md5")
+
+
+PNG_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         (4 + doc_id % 13)::INT AS width,
+         (3 + doc_id % 7)::INT AS height
+  FROM documents
+),
+r AS (
+  SELECT doc_id, width,
+         ((width + 1) // 2)::INT AS w2,
+         ((height + 1) // 2)::INT AS h2
+  FROM d
+)
+SELECT r.doc_id,
+       r.w2 AS width,
+       r.h2 AS height,
+       1::INT AS channels,
+       8::INT AS bit_depth,
+       SUM((r.doc_id * 7 + (u.i // r.w2) * 2 * r.width + (u.i % r.w2) * 2) % 256)::BIGINT AS px_sum,
+       COUNT(*)::BIGINT AS n_px
+FROM r, UNNEST(range(0, r.w2 * r.h2)) AS u(i)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no optional deps: every document row gets a
     deterministic synthetic PCM WAV (mono 16-bit 8 kHz, ``n_frames =
@@ -1578,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "png_decode": q_png_decode,
+        "png_resize": q_png_resize,
         "wav_decode": q_wav_decode,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
     }
@@ -1650,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": MULTIMODAL_META_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "png_decode": PNG_DECODE_SQL,
+        "png_resize": PNG_RESIZE_SQL,
         "wav_decode": WAV_DECODE_SQL,
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
     }

@@ -667,6 +667,37 @@ def test_png_decode_meta_matches_closed_form(spark):
         assert r.px_md5 == hashlib.md5(flat.tobytes()).hexdigest()
 
 
+def test_resize_png_matches_numpy_model(spark):
+    """decode → stride-2 downsample → re-encode on the workers, then
+    decode the resized blobs: equals the numpy model pixel-for-pixel
+    (md5 of the decoded samples included)."""
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_png_blob,
+        decode_png_meta,
+        resize_png,
+    )
+
+    ids = [0, 5, 38, 90]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in decode_png_meta(resize_png(attach_png_blob(df), factor=2)).collect()
+    }
+    for i in ids:
+        w, h = 4 + i % 13, 3 + i % 7
+        full = ((np.arange(w * h, dtype=np.int64) + i * 7) % 256).astype(
+            np.uint8
+        ).reshape(h, w, 1)
+        small = full[::2, ::2, :]
+        r = got[i]
+        assert (r.width, r.height) == (small.shape[1], small.shape[0])
+        assert r.px_sum == int(small.sum(dtype="int64"))
+        assert r.n_px == small.size
+        assert r.px_md5 == hashlib.md5(small.tobytes()).hexdigest()
+
+
 # ------------------------------------------------------------- wav codec
 def test_wav_codec_roundtrip_and_stdlib_cross_check():
     """Round-trip across (channels × bits), plus byte-exact agreement
