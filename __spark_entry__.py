@@ -1472,6 +1472,34 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction: decode each closed-form PNG and
+    emit an exact 8-bin intensity histogram (one row per non-empty
+    bin).  The DuckDB oracle bins the closed-form pixel rule directly
+    — any decode or binning bug breaks the integer-exact counts."""
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        png_histogram,
+    )
+
+    docs = attach_png_blob(_read(spark, sf_dir, "documents"))
+    return png_histogram(docs, n_bins=8)
+
+
+PNG_HISTOGRAM_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         (4 + doc_id % 13)::INT AS width,
+         (3 + doc_id % 7)::INT AS height
+  FROM documents
+)
+SELECT d.doc_id,
+       (((d.doc_id * 7 + r.i) % 256) // 32)::INT AS bin,
+       COUNT(*)::BIGINT AS n
+FROM d, UNNEST(range(0, d.width * d.height)) AS r(i)
+GROUP BY 1, 2
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no optional deps: every document row gets a
     deterministic synthetic PCM WAV (mono 16-bit 8 kHz, ``n_frames =
@@ -1620,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "png_decode": q_png_decode,
         "png_resize": q_png_resize,
+        "png_histogram": q_png_histogram,
         "wav_decode": q_wav_decode,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
     }
@@ -1693,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "png_decode": PNG_DECODE_SQL,
         "png_resize": PNG_RESIZE_SQL,
+        "png_histogram": PNG_HISTOGRAM_SQL,
         "wav_decode": WAV_DECODE_SQL,
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
     }

@@ -213,6 +213,51 @@ def resize_png(
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
+def png_histogram(
+    df: DataFrame,
+    n_bins: int = 8,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """REAL image feature extraction: decode the PNG and emit an
+    intensity histogram over ``n_bins`` equal-width bins of the 0-255
+    range — one output row per (image, non-empty bin) with the exact
+    integer sample count, the feature-vector shape a training
+    pipeline's quality/ND filters consume.  ``n_bins`` must divide
+    256 so bin = sample // (256/n_bins) is exact in both engines."""
+    if 256 % int(n_bins):
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
+    width = 256 // int(n_bins)
+
+    import numpy as np
+
+    from .png import decode_png
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("bin", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, bins, counts = [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                hist = np.bincount(
+                    decode_png(bytes(b)).reshape(-1) // width,
+                    minlength=256 // width,
+                )
+                for bin_idx in np.nonzero(hist)[0]:
+                    ids.append(i)
+                    bins.append(int(bin_idx))
+                    counts.append(int(hist[bin_idx]))
+            yield pd.DataFrame({id_col: ids, "bin": bins, "n": counts})
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 WAV_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),

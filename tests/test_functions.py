@@ -698,6 +698,33 @@ def test_resize_png_matches_numpy_model(spark):
         assert r.px_md5 == hashlib.md5(small.tobytes()).hexdigest()
 
 
+def test_png_histogram_matches_numpy_model(spark):
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_png_blob,
+        png_histogram,
+    )
+
+    ids = [0, 3, 77]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r.doc_id, r.bin): r.n
+        for r in png_histogram(attach_png_blob(df), n_bins=8).collect()
+    }
+    expect = {}
+    for i in ids:
+        w, h = 4 + i % 13, 3 + i % 7
+        flat = (np.arange(w * h, dtype=np.int64) + i * 7) % 256
+        hist = np.bincount(flat // 32, minlength=8)
+        for b in np.nonzero(hist)[0]:
+            expect[(i, int(b))] = int(hist[b])
+    assert got == expect
+
+    with pytest.raises(ValueError, match="divide 256"):
+        png_histogram(attach_png_blob(df), n_bins=7)
+
+
 # ------------------------------------------------------------- wav codec
 def test_wav_codec_roundtrip_and_stdlib_cross_check():
     """Round-trip across (channels × bits), plus byte-exact agreement
