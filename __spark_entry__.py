@@ -1531,6 +1531,46 @@ GROUP BY 1, 5
 """
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: decode the closed-form PCM and
+    emit frame count, amplitude extremes, and the strict-sign
+    zero-crossing count — all exact integers; the DuckDB oracle
+    recomputes them from the sample rule (crossings via an
+    i→i+1 self-join)."""
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        wav_features,
+    )
+
+    docs = attach_wav_blob(_read(spark, sf_dir, "documents"))
+    return wav_features(docs)
+
+
+WAV_FEATURES_SQL = """
+WITH d AS (
+  SELECT doc_id, (64 + doc_id % 129)::BIGINT AS n FROM documents
+),
+s AS (
+  SELECT d.doc_id, r.i,
+         (d.doc_id * 31 + r.i * 17) % 65536 - 32768 AS v
+  FROM d, UNNEST(range(0, d.n)) AS r(i)
+),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_frames,
+         MIN(v)::BIGINT AS amp_min, MAX(v)::BIGINT AS amp_max
+  FROM s GROUP BY 1
+),
+zc AS (
+  SELECT a.doc_id,
+         SUM(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1
+)
+SELECT agg.doc_id, agg.n_frames, agg.amp_min, agg.amp_max,
+       coalesce(zc.zero_crossings, 0)::BIGINT AS zero_crossings
+FROM agg LEFT JOIN zc ON agg.doc_id = zc.doc_id
+"""
+
+
 def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming document ingest (extension layer meets the streaming
     runtime): file-source micro-batches → stateful streaming
@@ -1650,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_resize": q_png_resize,
         "png_histogram": q_png_histogram,
         "wav_decode": q_wav_decode,
+        "wav_features": q_wav_features,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
     }
 
@@ -1724,5 +1765,6 @@ def oracle_sql() -> dict[str, str]:
         "png_resize": PNG_RESIZE_SQL,
         "png_histogram": PNG_HISTOGRAM_SQL,
         "wav_decode": WAV_DECODE_SQL,
+        "wav_features": WAV_FEATURES_SQL,
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
     }

@@ -327,6 +327,49 @@ def decode_wav_meta(
     return df.select(id_col, blob_col).mapInPandas(batches, WAV_META_SCHEMA)
 
 
+def wav_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL audio feature extraction over decoded PCM (mono): frame
+    count, amplitude extremes, and the zero-crossing count (strict
+    sign change: ``s[i]·s[i+1] < 0``) — all exact integers, so the
+    DuckDB gate hash-matches.  Zero-crossing rate is the classic
+    cheap voice-activity / noise feature a speech-corpus pipeline
+    filters on."""
+    import numpy as np
+
+    from .wav import decode_wav
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("amp_min", T.LongType(), False),
+            T.StructField("amp_max", T.LongType(), False),
+            T.StructField("zero_crossings", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            cols = {k.name: [] for k in schema.fields}
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                _sr, _bits, s = decode_wav(bytes(b))
+                if s.shape[1] != 1:
+                    raise ValueError(
+                        f"wav_features expects mono, got {s.shape[1]} channels"
+                    )
+                v = s[:, 0].astype(np.int64)
+                cols[id_col].append(i)
+                cols["n_frames"].append(len(v))
+                cols["amp_min"].append(int(v.min()))
+                cols["amp_max"].append(int(v.max()))
+                cols["zero_crossings"].append(int(np.sum(v[:-1] * v[1:] < 0)))
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
     """Decode image binaries to (width, height, mode).  STUB: requires
     PIL, which is not in this container."""

@@ -823,6 +823,26 @@ def test_wav_decode_meta_matches_closed_form(spark):
         assert r.pcm_md5 == hashlib.md5(s.tobytes()).hexdigest()
 
 
+def test_wav_features_matches_numpy_model(spark):
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_wav_blob,
+        wav_features,
+    )
+
+    ids = [0, 9, 4000]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r for r in wav_features(attach_wav_blob(df)).collect()}
+    for i in ids:
+        n = 64 + i % 129
+        v = ((np.arange(n, dtype=np.int64) * 17 + i * 31) % 65536) - 32768
+        r = got[i]
+        assert r.n_frames == n
+        assert (r.amp_min, r.amp_max) == (int(v.min()), int(v.max()))
+        assert r.zero_crossings == int(np.sum(v[:-1] * v[1:] < 0))
+
+
 # ------------------------------------------------- decontam / pii / mixing
 def test_contaminated_docs_hand_fixture(spark):
     """Decontamination: docs sharing ≥1 word-8-gram with the benchmark
