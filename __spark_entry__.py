@@ -1571,6 +1571,47 @@ FROM agg LEFT JOIN zc ON agg.doc_id = zc.doc_id
 """
 
 
+def q_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: every document row gets a
+    closed-form uncompressed BGR24 AVI (25 fps, up to 9 frames, width
+    5 exercises DIB row padding); `sample_avi_frames` parses the RIFF
+    container, keeps frames whose real container timestamp (f ×
+    us_per_frame // 1000) lands on an 80 ms boundary, and emits the
+    decoded shape + exact pixel sum per kept frame.  The DuckDB
+    oracle recomputes timing and statistics from the closed form — a
+    container-walk, row-padding, or bottom-up-flip bug shifts every
+    byte and breaks the integer-exact px_sum."""
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_avi_blob,
+        sample_avi_frames,
+    )
+
+    docs = attach_avi_blob(_read(spark, sf_dir, "documents"))
+    return sample_avi_frames(docs, every_ms=80)
+
+
+AVI_FRAME_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         (3 + doc_id % 7)::INT AS n_frames,
+         (4 + doc_id % 5)::INT AS width,
+         (2 + doc_id % 3)::INT AS height
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.width, d.height,
+         g.f::INT AS frame_idx,
+         ((g.f * 40000) // 1000)::BIGINT AS frame_ts_ms
+  FROM d, UNNEST(range(0, d.n_frames)) AS g(f)
+  WHERE ((g.f * 40000) // 1000) % 80 = 0
+)
+SELECT fr.doc_id, fr.frame_idx, fr.frame_ts_ms, fr.height, fr.width,
+       SUM((fr.doc_id * 13 + fr.frame_idx * 101 + r.i) % 256)::BIGINT AS px_sum
+FROM fr, UNNEST(range(0, fr.width * fr.height * 3)) AS r(i)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming document ingest (extension layer meets the streaming
     runtime): file-source micro-batches → stateful streaming
@@ -1691,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_histogram": q_png_histogram,
         "wav_decode": q_wav_decode,
         "wav_features": q_wav_features,
+        "avi_frame_sample": q_avi_frame_sample,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
     }
 
@@ -1766,5 +1808,6 @@ def oracle_sql() -> dict[str, str]:
         "png_histogram": PNG_HISTOGRAM_SQL,
         "wav_decode": WAV_DECODE_SQL,
         "wav_features": WAV_FEATURES_SQL,
+        "avi_frame_sample": AVI_FRAME_SAMPLE_SQL,
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
     }

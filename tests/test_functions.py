@@ -843,6 +843,81 @@ def test_wav_features_matches_numpy_model(spark):
         assert r.zero_crossings == int(np.sum(v[:-1] * v[1:] < 0))
 
 
+# ------------------------------------------------------------- avi codec
+def test_avi_codec_roundtrip_including_row_padding():
+    """Round-trip across frame counts and frame shapes — widths 1 and
+    5 exercise the DIB 4-byte row padding, and the bottom-up storage
+    flip must restore row order exactly."""
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (1, 4, 9):
+        for h, w in ((1, 1), (2, 4), (3, 5), (7, 6)):
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(n)
+            ]
+            us, out = decode_avi(encode_avi(frames, fps=25))
+            assert us == 40000 and len(out) == n
+            for a, d in zip(frames, out):
+                assert np.array_equal(a, d), (n, h, w)
+
+
+def test_avi_decoder_rejects_malformed():
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    good = encode_avi([np.zeros((2, 4, 3), dtype=np.uint8)], fps=25)
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"JUNK" + good[4:])
+
+    compressed = good.replace(b"00db", b"00dc")
+    with pytest.raises(ValueError, match="00dc"):
+        decode_avi(compressed)
+
+
+def test_sample_avi_frames_matches_closed_form(spark):
+    """attach_avi_blob → sample_avi_frames keeps exactly the frames
+    whose REAL container timestamp lands on the boundary and decodes
+    their pixels exactly."""
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_avi_blob,
+        sample_avi_frames,
+    )
+
+    ids = [0, 6, 13]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r.doc_id, r.frame_idx): r
+        for r in sample_avi_frames(attach_avi_blob(df), every_ms=80).collect()
+    }
+    expect_keys = set()
+    for i in ids:
+        n, w, h = 3 + i % 7, 4 + i % 5, 2 + i % 3
+        for f in range(n):
+            ts = f * 40000 // 1000
+            if ts % 80:
+                continue
+            expect_keys.add((i, f))
+            r = got[(i, f)]
+            flat = (np.arange(h * w * 3, dtype=np.int64) + i * 13 + f * 101) % 256
+            assert (r.frame_ts_ms, r.height, r.width) == (ts, h, w)
+            assert r.px_sum == int(flat.sum())
+    assert set(got) == expect_keys
+
+
 # ------------------------------------------------- decontam / pii / mixing
 def test_contaminated_docs_hand_fixture(spark):
     """Decontamination: docs sharing ≥1 word-8-gram with the benchmark
