@@ -30,6 +30,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import ensure_package_shipped
+
+
+def _map_blob(df: DataFrame, id_col: str, blob_col: str, batches, schema):
+    """mapInPandas over (id, blob) with the package shipped to the
+    workers first: the codec closures reference module-level package
+    functions (pickled by reference), so a harness-provided session
+    that can't import the package would otherwise fail in the Python
+    worker."""
+    ensure_package_shipped(df.sparkSession)
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("mime", T.StringType(), True),
@@ -101,7 +114,7 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blo
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(batches, FAKE_META_SCHEMA)
+    return _map_blob(df, id_col, blob_col, batches, FAKE_META_SCHEMA)
 
 
 PNG_META_SCHEMA = T.StructType(
@@ -140,6 +153,7 @@ def attach_png_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(encode_png(flat.astype(np.uint8).reshape(h, w)))
         return pd.Series(out)
 
+    ensure_package_shipped(df.sparkSession)
     return df.withColumn("blob", synth(F.col(id_col)))
 
 
@@ -178,7 +192,7 @@ def decode_png_meta(
                 cols["px_md5"].append(hashlib.md5(a.tobytes()).hexdigest())
             yield pd.DataFrame(cols)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, PNG_META_SCHEMA)
+    return _map_blob(df, id_col, blob_col, batches, PNG_META_SCHEMA)
 
 
 def resize_png(
@@ -214,7 +228,7 @@ def resize_png(
                 blobs.append(encode_png(a[::f, ::f, :]))
             yield pd.DataFrame({id_col: ids, blob_col: blobs})
 
-    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+    return _map_blob(df, id_col, blob_col, batches, schema)
 
 
 def png_histogram(
@@ -259,7 +273,7 @@ def png_histogram(
                     counts.append(int(hist[bin_idx]))
             yield pd.DataFrame({id_col: ids, "bin": bins, "n": counts})
 
-    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+    return _map_blob(df, id_col, blob_col, batches, schema)
 
 
 WAV_META_SCHEMA = T.StructType(
@@ -295,6 +309,7 @@ def attach_wav_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(encode_wav(s.astype(np.int16), 8000, 16))
         return pd.Series(out)
 
+    ensure_package_shipped(df.sparkSession)
     return df.withColumn("blob", synth(F.col(id_col)))
 
 
@@ -328,7 +343,7 @@ def decode_wav_meta(
                 cols["pcm_md5"].append(hashlib.md5(s.tobytes()).hexdigest())
             yield pd.DataFrame(cols)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, WAV_META_SCHEMA)
+    return _map_blob(df, id_col, blob_col, batches, WAV_META_SCHEMA)
 
 
 def wav_features(
@@ -371,7 +386,7 @@ def wav_features(
                 cols["zero_crossings"].append(int(np.sum(v[:-1] * v[1:] < 0)))
             yield pd.DataFrame(cols)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+    return _map_blob(df, id_col, blob_col, batches, schema)
 
 
 def attach_avi_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -402,6 +417,7 @@ def attach_avi_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(encode_avi(frames, fps=25))
         return pd.Series(out)
 
+    ensure_package_shipped(df.sparkSession)
     return df.withColumn("blob", synth(F.col(id_col)))
 
 
@@ -457,7 +473,7 @@ def sample_avi_frames(
                     cols["px_sum"].append(int(arr.sum(dtype="int64")))
             yield pd.DataFrame(cols)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, AVI_FRAME_SCHEMA)
+    return _map_blob(df, id_col, blob_col, batches, AVI_FRAME_SCHEMA)
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
@@ -493,7 +509,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
                 out["mode"].append(img.mode)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+    return _map_blob(df, id_col, blob_col, batches, schema)
 
 
 def frame_sample(
@@ -530,4 +546,4 @@ def frame_sample(
                 {"doc_id": ids, "frame_idx": idxs, "frame_ts_ms": tss}
             )
 
-    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+    return _map_blob(df, id_col, blob_col, batches, schema)

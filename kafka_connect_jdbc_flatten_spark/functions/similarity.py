@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import ensure_package_shipped
 from .util import spread
 
 # the Arrow all-pairs kernel collects the (id, vec) table to the driver
@@ -196,6 +197,7 @@ def _brute_force_topk_arrow(
                 )
             yield pd.concat(parts, ignore_index=True)
 
+    ensure_package_shipped(embeddings.sparkSession)
     cand = embeddings.select(id_col, vec_col).mapInPandas(
         score_batches, schema=out_schema
     )
@@ -360,6 +362,7 @@ def _embedding_neardup_pairs_arrow(
                 {"id1": bid[bi], "id2": aid[ai], "cos": S[bi, ai]}
             )
 
+    ensure_package_shipped(embeddings.sparkSession)
     return embeddings.select(id_col, vec_col).mapInPandas(
         score_batches, schema=out_schema
     )
@@ -747,6 +750,7 @@ def _rerank_rowwise_arrow(
                 }
             )
 
+    ensure_package_shipped(cand_vec.sparkSession)
     return cand_vec.select(query_id_col, id_col, vec_col).mapInPandas(
         score, schema=out_schema
     )

@@ -43,6 +43,22 @@ def _package_zip() -> str:
     return _PKG_ZIP
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Best-effort ``addPyFile`` of this package onto an EXISTING
+    session.  Operators whose Arrow-batch closures reference
+    module-level package functions (the codec kernels, the GEMM
+    rounding shim) are pickled BY REFERENCE, so the Python workers
+    must be able to import the package — guaranteed for ``get_spark``
+    sessions, but harness-provided sessions (the correctness driver,
+    a user's own builder) may lack it.  Same zip path per process ⇒
+    repeat calls are no-ops; failures are swallowed because a session
+    whose workers can already import the package needs nothing."""
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass
+
+
 def get_spark(
     app_name: str = "kafka_connect_jdbc_flatten_spark",
     cores: int | None = None,
