@@ -114,6 +114,53 @@ WHERE user_id % 10 != 7
 
 TURNS_TABLE = "transcripts_conversation_turns"
 
+# State after replaying only envelopes with seq <= max(event_id)//2 —
+# the LWW winner per conversation among the prefix batch is the
+# max-(ts, seq) envelope, and its whole image carries every turn at or
+# before it in (ts, event_id) order.  No tombstone has seq <= the
+# cutoff (tombstone seq = user_id + max_seq + 1), so no user is absent
+# for deletion reasons.
+PREFIX_STATE_SQL = """
+WITH cutoff AS (SELECT max(event_id) // 2 AS s FROM events),
+win AS (
+  SELECT user_id, event_id AS wid, ts AS wts
+  FROM events, cutoff
+  WHERE event_id <= s
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT CAST(e.user_id AS VARCHAR) AS conv_id,
+       (row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1)::INT
+         AS turn_idx,
+       e.event_type AS role,
+       e.props AS text,
+       e.event_type AS tool,
+       e.ts
+FROM events e JOIN win w ON e.user_id = w.user_id
+WHERE e.ts < w.wts OR (e.ts = w.wts AND e.event_id <= w.wid)
+"""
+
+# CDC egress between the two snapshots above: rows present only in the
+# final state are inserts, rows only in the prefix state are deletes
+# (the tombstoned conversations), payload-changed rows are updates —
+# the emitted image is the TO-snapshot one (null for deletes).
+EGRESS_CHANGES_SQL = f"""
+WITH p AS ({PREFIX_STATE_SQL}), f AS ({FINAL_STATE_SQL})
+SELECT CASE WHEN p.conv_id IS NULL THEN 'c'
+            WHEN f.conv_id IS NULL THEN 'd'
+            ELSE 'u' END AS _op,
+       coalesce(p.conv_id, f.conv_id) AS conv_id,
+       coalesce(p.turn_idx, f.turn_idx) AS turn_idx,
+       f.role, f.text, f.tool, f.ts
+FROM p FULL OUTER JOIN f
+  ON p.conv_id = f.conv_id AND p.turn_idx = f.turn_idx
+WHERE p.conv_id IS NULL OR f.conv_id IS NULL
+   OR p.role IS DISTINCT FROM f.role
+   OR p.text IS DISTINCT FROM f.text
+   OR p.tool IS DISTINCT FROM f.tool
+   OR p.ts IS DISTINCT FROM f.ts
+"""
+
 
 # =====================================================================
 # CDC / flatten pipeline queries (SURVEY §2.1-2.3)
@@ -1664,6 +1711,105 @@ FROM documents
 # =====================================================================
 # Driver contract
 # =====================================================================
+def _two_phase_replay(spark: SparkSession, sf_dir: str):
+    """Replay the changelog in two seq-split batches, returning the
+    turns LakeTable plus the snapshot versions after each batch —
+    shared harness of the time-travel and CDC-egress gates."""
+    wh = _tmp("tt")
+    applier = CdcApplier(spark, wh, _transcript_plan(), n_buckets=8)
+    cl = transcript_changelog(spark, sf_dir)
+    cutoff = (
+        int(
+            _read(spark, sf_dir, "events")
+            .agg(F.max("event_id"))
+            .collect()[0][0]
+        )
+        // 2
+    )
+    applier.apply_batch(cl.filter(F.col("seq") <= cutoff), batch_id=0)
+    turns = applier.tables[TURNS_TABLE]
+    v1 = turns.manifest()["version"]
+    applier.apply_batch(cl.filter(F.col("seq") > cutoff), batch_id=1)
+    v2 = turns.manifest()["version"]
+    return turns, v1, v2
+
+
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Iceberg VERSION AS OF): pin the turns
+    table's version after the prefix batch, apply the rest of the
+    feed, then read the PINNED version — must equal the prefix-replay
+    state even though the current table has moved on (tombstones
+    applied, prefixes extended)."""
+    turns, v1, _v2 = _two_phase_replay(spark, sf_dir)
+    from kafka_connect_jdbc_flatten_spark.lake.table import (
+        BUCKET_COL,
+        SEQ_COL,
+    )
+
+    return turns.read(version=v1).drop(BUCKET_COL, SEQ_COL)
+
+
+def q_cdc_egress_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC egress (Iceberg changelog scan): the keyed row-level diff
+    between the two replay snapshots — inserts for turns that only
+    exist after the second batch, deletes for tombstoned
+    conversations; payload columns compared WITHOUT the bookkeeping
+    seq so whole-image rewrites of unchanged turns stay silent."""
+    turns, v1, v2 = _two_phase_replay(spark, sf_dir)
+    return turns.read_changes(
+        v1, v2, compare_cols=["role", "text", "tool", "ts"]
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (operators/asof.py): each event picks
+    up the newest same-or-earlier order-day aggregate of its user —
+    checked against DuckDB's NATIVE ASOF JOIN, an independent
+    implementation of the same semantics.  The dimension is
+    pre-reduced to one row per (user, day) so the match is
+    deterministic; a third of the users are filtered out of the
+    dimension to exercise the LEFT OUTER misses."""
+    from kafka_connect_jdbc_flatten_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 != 1)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+        )
+        .agg(
+            F.max("o_totalprice").alias("last_price"),
+            F.count(F.lit(1)).cast("long").alias("n_same_day"),
+        )
+    )
+    return asof_join(
+        ev,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate", "last_price", "n_same_day"],
+    ).withColumnRenamed("o_orderdate", "last_order_ts")
+
+
+ASOF_JOIN_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_totalprice) AS last_price,
+         count(*)::BIGINT AS n_same_day
+  FROM orders
+  WHERE o_custkey % 3 != 1
+  GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       r.o_orderdate AS last_order_ts, r.last_price, r.n_same_day
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full CDC replay to final transcript state."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -1734,6 +1880,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_features": q_wav_features,
         "avi_frame_sample": q_avi_frame_sample,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
+        # lake snapshot layer (round-4 continuation)
+        "time_travel_read": q_time_travel_read,
+        "cdc_egress_changes": q_cdc_egress_changes,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1810,4 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "wav_features": WAV_FEATURES_SQL,
         "avi_frame_sample": AVI_FRAME_SAMPLE_SQL,
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
+        "time_travel_read": PREFIX_STATE_SQL,
+        "cdc_egress_changes": EGRESS_CHANGES_SQL,
+        "asof_join": ASOF_JOIN_SQL,
     }

@@ -133,9 +133,16 @@ class LakeTable:
         with open(os.path.join(self._manifest_dir, "CURRENT")) as f:
             return int(f.read().strip())
 
-    def manifest(self) -> dict:
-        v = self._current_version()
-        with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
+    def manifest(self, version: int | None = None) -> dict:
+        """Current manifest, or a PINNED historical snapshot when
+        ``version`` is given (manifest files are immutable and never
+        rewritten, so every committed version stays addressable —
+        Iceberg's metadata time travel)."""
+        v = self._current_version() if version is None else int(version)
+        mpath = os.path.join(self._manifest_dir, f"v{v}.json")
+        if not os.path.exists(mpath):
+            raise ValueError(f"no snapshot v{v} for table {self.path}")
+        with open(mpath) as f:
             return json.load(f)
 
     def _write_manifest(self, manifest: dict) -> None:
@@ -172,13 +179,55 @@ class LakeTable:
     def key_cols(self) -> list[str]:
         return self.manifest()["key_cols"]
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def snapshots(self) -> list[dict]:
+        """Committed snapshot history ``[{version, wall_ms}, ...]``
+        (ascending; the manifest carries the last 99)."""
+        return list(self.manifest().get("snapshots") or [])
+
+    def read_as_of(self, wall_ms: int, buckets: list[int] | None = None) -> DataFrame:
+        """Time-travel read at the newest snapshot committed at or
+        before ``wall_ms`` (Iceberg's ``TIMESTAMP AS OF``)."""
+        eligible = [s for s in self.snapshots() if s["wall_ms"] <= wall_ms]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot of {self.path} at or before wall_ms={wall_ms}"
+            )
+        return self.read(buckets=buckets, version=eligible[-1]["version"])
+
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Snapshot read; ``buckets`` restricts to those partitions
         (partition pruning — only the touched buckets' files are
         scanned).  When merge-on-read delta segments exist they are
         reconciled here (latest segment wins per scope / per key, see
-        ``merge(strategy="mor")``)."""
-        m = self.manifest()
+        ``merge(strategy="mor")``).
+
+        ``version`` pins a historical snapshot (``VERSION AS OF``):
+        manifests are immutable, so the read plan is identical — only
+        the file list differs.  Data files of old snapshots survive
+        until ``vacuum(retain_last=...)`` drops them; reading past the
+        retention raises with guidance instead of failing mid-scan."""
+        m = self.manifest(version)
+        if version is not None:
+            missing = [
+                f
+                for fl in m["files"].values()
+                for f in fl
+                if not os.path.exists(f)
+            ] or [
+                f
+                for seg in m.get("segments", [])
+                for fl in seg["files"].values()
+                for f in fl
+                if not os.path.exists(f)
+            ]
+            if missing:
+                raise ValueError(
+                    f"snapshot v{version} of {self.path} has been vacuumed "
+                    f"({len(missing)} data files gone); keep more history "
+                    "with vacuum(retain_last=N)"
+                )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         read_schema = T.StructType(
             list(schema.fields)
@@ -230,6 +279,59 @@ class LakeTable:
         if not segments:
             return allrows.drop(MOR_DELETE_COL, SEG_COL)
         return self._reconcile(allrows, m)
+
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """CDC egress: the keyed row-level diff between two snapshots —
+        what a downstream consumer must apply to move from
+        ``from_version`` to ``to_version`` (default: current).  The
+        read-side complement of the ingest path (Iceberg's
+        changelog/incremental scan).
+
+        Output: ``_op ∈ {c,u,d}`` + the key columns + the TO-snapshot
+        image of ``compare_cols`` (null for ``d`` rows).  Unchanged
+        rows are absent.  Requires key-unique snapshots (lww/replace
+        tables — the CDC apply invariant); ``compare_cols`` defaults to
+        every non-key data column and is also the change predicate, so
+        callers exclude bookkeeping columns (e.g. the batch seq) to
+        diff on payload alone.
+
+        Scale shape: ONE full-outer equi-join on the key columns
+        between two bucket-pruned snapshot reads — both sides hash the
+        same key layout, no driver-side state."""
+        m_to = self.manifest(to_version)
+        keys = m_to["key_cols"]
+        data_cols = [
+            f.name
+            for f in T.StructType.fromJson(json.loads(m_to["schema"])).fields
+            if f.name not in keys
+        ]
+        cols = list(compare_cols) if compare_cols is not None else data_cols
+        bad = sorted(set(cols) - set(data_cols))
+        if bad:
+            raise ValueError(f"compare_cols {bad} not data columns of {self.path}")
+        before = self.read(version=from_version).select(
+            *keys, F.struct(*[F.col(c) for c in cols]).alias("__before")
+        )
+        after = self.read(version=to_version if to_version is not None
+                          else self._current_version()).select(
+            *keys, F.struct(*[F.col(c) for c in cols]).alias("__after")
+        )
+        joined = before.join(after, on=keys, how="full_outer")
+        op = (
+            F.when(F.col("__before").isNull(), F.lit("c"))
+            .when(F.col("__after").isNull(), F.lit("d"))
+            .when(~F.col("__before").eqNullSafe(F.col("__after")), F.lit("u"))
+        )
+        return (
+            joined.withColumn("_op", op)
+            .filter(F.col("_op").isNotNull())
+            .select("_op", *keys, *[F.col("__after")[c].alias(c) for c in cols])
+        )
 
     @staticmethod
     def _delta_bytes(segments: list) -> int:
@@ -885,14 +987,25 @@ class LakeTable:
         return added
 
     # -------------------------------------------------------------- maint
-    def vacuum(self) -> int:
-        """Delete data files unreferenced by the current snapshot."""
-        m = self.manifest()
-        live = {os.path.abspath(p) for fl in m["files"].values() for p in fl}
-        for seg in m.get("segments", []):
-            live |= {
-                os.path.abspath(p) for fl in seg["files"].values() for p in fl
-            }
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files unreferenced by the ``retain_last`` newest
+        snapshots (default 1 = current only — Iceberg's
+        ``expire_snapshots``).  Versions inside the retention window
+        stay time-travel-readable after the vacuum."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        cur = self._current_version()
+        live: set[str] = set()
+        for v in range(max(0, cur - int(retain_last) + 1), cur + 1):
+            try:
+                m = self.manifest(v)
+            except ValueError:
+                continue
+            live |= {os.path.abspath(p) for fl in m["files"].values() for p in fl}
+            for seg in m.get("segments", []):
+                live |= {
+                    os.path.abspath(p) for fl in seg["files"].values() for p in fl
+                }
         removed = 0
         for root, _dirs, fs in os.walk(self._data_dir):
             for f in fs:
