@@ -1402,6 +1402,29 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_NEARDUP_SQL = SIM.embedding_neardup_pairs_sql("embeddings", threshold=0.4)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (functions/semantic.py): k-means
+    cluster the embeddings, cosine-pair strictly within clusters, close
+    pairs into duplicate groups, keep the min-id representative.  Gated
+    at the deterministic ``iters=0`` config (centroids = the k
+    lowest-id vectors — the quantizer's init), which runs the full
+    assignment/pair/closure pipeline with SQL-expressible centroids;
+    Lloyd-iterated configs are numpy-cross-checked in
+    tests/test_semantic.py."""
+    from kafka_connect_jdbc_flatten_spark.functions.semantic import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, threshold=0.4, iters=0)
+
+
+def _semantic_dedup_sql() -> str:
+    from kafka_connect_jdbc_flatten_spark.functions.semantic import (
+        semantic_dedup_sql,
+    )
+
+    return semantic_dedup_sql("embeddings", k=8, threshold=0.4)
+
+
 # =====================================================================
 # Training-data layer: multimodal plumbing
 # =====================================================================
@@ -1871,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "png_decode": q_png_decode,
@@ -1951,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ANN_BRUTE_SQL,  # full probe ≡ exact brute force
         "embedding_neardup": EMB_NEARDUP_SQL,
         "embedding_neardup_lsh": EMB_NEARDUP_SQL,  # n_planes=0 ⇒ all pairs
+        "semantic_dedup": _semantic_dedup_sql(),
         "multimodal_meta": MULTIMODAL_META_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "png_decode": PNG_DECODE_SQL,

@@ -180,6 +180,8 @@ def main():
             timed("ann_brute_topk", E.q_ann_brute_topk)
             timed("chunk_dedup", E.q_chunk_dedup)
             timed("unigram_logprob", E.q_unigram_logprob)
+            timed("asof_join", E.q_asof_join)
+            timed("semantic_dedup", E.q_semantic_dedup)
             timed("multimodal_meta", E.q_multimodal_meta)
             runs.append(dict(rq))
             queries = (

@@ -314,8 +314,23 @@ class LakeTable:
         bad = sorted(set(cols) - set(data_cols))
         if bad:
             raise ValueError(f"compare_cols {bad} not data columns of {self.path}")
-        before = self.read(version=from_version).select(
-            *keys, F.struct(*[F.col(c) for c in cols]).alias("__before")
+        # columns added by auto-evolve AFTER from_version don't exist in
+        # the older snapshot — read them as typed nulls, exactly how the
+        # evolved read treats pre-evolution files (additive evolution)
+        to_fields = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(m_to["schema"])).fields
+        }
+        bdf = self.read(version=from_version)
+        before = bdf.select(
+            *keys,
+            F.struct(
+                *[
+                    F.col(c) if c in bdf.columns
+                    else F.lit(None).cast(to_fields[c]).alias(c)
+                    for c in cols
+                ]
+            ).alias("__before"),
         )
         after = self.read(version=to_version if to_version is not None
                           else self._current_version()).select(

@@ -106,6 +106,33 @@ def test_read_changes_keyed_diff(spark, table3):
         t.read_changes(v1, v2, compare_cols=["nope"])
 
 
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """A column auto-evolved between the two snapshots reads as a
+    typed null on the before side — the diff works across the
+    evolution boundary instead of failing on the missing column."""
+    t = LakeTable.create(spark, str(tmp_path / "ev"), SCHEMA, ["k"], n_buckets=2)
+    t.merge(mk(spark, [(1, "a", 1), (2, "b", 1)]), mode="lww", batch_id=0)
+    v1 = t.manifest()["version"]
+    t.evolve_schema(
+        T.StructType(list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)])
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", 2, "x")],
+            T.StructType(list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)]),
+        ),
+        mode="lww",
+        batch_id=1,
+    )
+    v2 = t.manifest()["version"]
+    ch = sorted(
+        (r["_op"], r.k, r.v, r.extra)
+        for r in t.read_changes(v1, v2, compare_cols=["v", "extra"]).collect()
+    )
+    # k=1: unchanged v, extra null -> "x" = update; k=2: untouched
+    assert ch == [("u", 1, "a", "x")]
+
+
 def test_read_changes_plan_is_one_full_outer_join(spark, table3):
     t, (v1, v2, v3) = table3
     plan = (
