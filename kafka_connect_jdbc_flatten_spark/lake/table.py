@@ -348,6 +348,58 @@ class LakeTable:
             .select("_op", *keys, *[F.col("__after")[c].alias(c) for c in cols])
         )
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        batch_id: int | None = None,
+        writer_id: str = "default",
+    ) -> dict:
+        """Consume a :meth:`read_changes` diff on a downstream replica:
+        upsert the ``c``/``u`` rows, tombstone the ``d`` keys — the
+        consumer half of the egress loop (Iceberg changelog consumer /
+        the reference's sink applied to a lake replica,
+        ``JdbcDbWriter.java:130-198``).
+
+        Requires the diff to carry EVERY data column of this table
+        (i.e. produced with the default ``compare_cols``): applying a
+        partial-column diff with whole-row LWW would null the
+        un-compared columns.  Scale shape: the ``c``/``u`` rows commit
+        as ONE MOR delta segment (O(diff) IO) and the ``d`` keys as one
+        marker-only delete segment — no full-table rewrite.  Replays of
+        the same ``batch_id`` are no-ops per half (each half has its
+        own writer ledger entry), so foreachBatch re-delivery of a diff
+        stream is exactly-once.
+        """
+        m = self.manifest()
+        keys = m["key_cols"]
+        data_cols = [f.name for f in self.schema.fields if f.name not in keys]
+        missing = sorted(set(["_op", *keys, *data_cols]) - set(changes.columns))
+        if missing:
+            raise ValueError(
+                f"changes lack columns {missing}; produce the diff with the "
+                "default compare_cols (all data columns) so LWW apply "
+                "cannot null un-compared columns"
+            )
+        upserts = changes.filter(F.col("_op") != "d").select(*keys, *data_cols)
+        stats = {
+            "upserts": self.merge(
+                upserts,
+                mode="lww",
+                batch_id=batch_id,
+                writer_id=f"{writer_id}#changes.upsert",
+                strategy="mor",
+            )
+        }
+        deletes = changes.filter(F.col("_op") == "d").select(*keys)
+        stats["deletes"] = self.delete_where_keys(
+            deletes,
+            scope_keys=keys,
+            batch_id=batch_id,
+            writer_id=f"{writer_id}#changes.delete",
+            strategy="mor",
+        )
+        return stats
+
     @staticmethod
     def _delta_bytes(segments: list) -> int:
         """On-disk bytes of the delta segments — a free driver-side

@@ -133,6 +133,32 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     assert ch == [("u", 1, "a", "x")]
 
 
+def test_apply_changes_syncs_a_replica(spark, table3, tmp_path):
+    """read_changes → apply_changes round-trip: a replica at the FROM
+    snapshot lands exactly on the TO snapshot, and re-delivery of the
+    same diff batch is a no-op (exactly-once per half)."""
+    t, (v1, v2, v3) = table3
+    r = LakeTable.create(spark, str(tmp_path / "replica"), SCHEMA, ["k"], n_buckets=4)
+    r.merge(mk(spark, [(1, "a", 1), (2, "b", 1)]), mode="lww", batch_id=0)
+    assert state(r.read()) == state(t.read(version=v1))
+
+    r.apply_changes(t.read_changes(v1, v3), batch_id=1)
+    assert state(r.read()) == state(t.read(version=v3))
+
+    st = r.apply_changes(t.read_changes(v1, v3), batch_id=1)
+    assert st["upserts"].get("skipped") and st["deletes"].get("skipped")
+    assert state(r.read()) == state(t.read(version=v3))
+
+
+def test_apply_changes_rejects_partial_column_diff(spark, table3, tmp_path):
+    """A diff produced with a compare_cols subset would null the
+    un-compared columns under whole-row LWW — refused with guidance."""
+    t, (v1, _, _) = table3
+    r = LakeTable.create(spark, str(tmp_path / "r2"), SCHEMA, ["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="lack columns"):
+        r.apply_changes(t.read_changes(v1, compare_cols=["v"]))
+
+
 def test_read_changes_plan_is_one_full_outer_join(spark, table3):
     t, (v1, v2, v3) = table3
     plan = (
