@@ -363,8 +363,12 @@ class LakeTable:
         Requires the diff to carry EVERY data column of this table
         (i.e. produced with the default ``compare_cols``): applying a
         partial-column diff with whole-row LWW would null the
-        un-compared columns.  Scale shape: the ``c``/``u`` rows commit
-        as ONE MOR delta segment (O(diff) IO) and the ``d`` keys as one
+        un-compared columns.  Columns the SOURCE auto-evolved that this
+        replica lacks trigger the same additive evolution here first
+        (``evolve_schema`` — the apply path mirrors the ingest path's
+        auto-evolve, S10), so an evolving upstream never wedges its
+        replicas.  Scale shape: the ``c``/``u`` rows commit as ONE MOR
+        delta segment (O(diff) IO) and the ``d`` keys as one
         marker-only delete segment — no full-table rewrite.  Replays of
         the same ``batch_id`` are no-ops per half (each half has its
         own writer ledger entry), so foreachBatch re-delivery of a diff
@@ -372,6 +376,19 @@ class LakeTable:
         """
         m = self.manifest()
         keys = m["key_cols"]
+        have = {f.name.lower() for f in self.schema.fields}
+        extras = [
+            f
+            for f in changes.schema.fields
+            if f.name != "_op" and f.name.lower() not in have
+        ]
+        if extras:
+            self.evolve_schema(
+                T.StructType(
+                    list(self.schema.fields)
+                    + [T.StructField(f.name, f.dataType, True) for f in extras]
+                )
+            )
         data_cols = [f.name for f in self.schema.fields if f.name not in keys]
         missing = sorted(set(["_op", *keys, *data_cols]) - set(changes.columns))
         if missing:

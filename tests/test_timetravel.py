@@ -150,6 +150,31 @@ def test_apply_changes_syncs_a_replica(spark, table3, tmp_path):
     assert state(r.read()) == state(t.read(version=v3))
 
 
+def test_apply_changes_evolves_the_replica(spark, tmp_path):
+    """A diff carrying a column the source auto-evolved lands on a
+    narrower replica by evolving it first — the apply path mirrors the
+    ingest path's additive auto-evolve."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, ["k"], n_buckets=2)
+    src.merge(mk(spark, [(1, "a", 1), (2, "b", 1)]), mode="lww", batch_id=0)
+    v1 = src.manifest()["version"]
+    wide = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)]
+    )
+    src.evolve_schema(wide)
+    src.merge(
+        spark.createDataFrame([(1, "a2", 2, "x")], wide), mode="lww", batch_id=1
+    )
+    v2 = src.manifest()["version"]
+
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), SCHEMA, ["k"], n_buckets=2)
+    rep.merge(mk(spark, [(1, "a", 1), (2, "b", 1)]), mode="lww", batch_id=0)
+    rep.apply_changes(src.read_changes(v1, v2), batch_id=1)
+    assert "extra" in rep.read().columns
+    got = sorted((r.k, r.v, r.extra) for r in rep.read().collect())
+    want = sorted((r.k, r.v, r.extra) for r in src.read(version=v2).collect())
+    assert got == want == [(1, "a2", "x"), (2, "b", None)]
+
+
 def test_apply_changes_rejects_partial_column_diff(spark, table3, tmp_path):
     """A diff produced with a compare_cols subset would null the
     un-compared columns under whole-row LWW — refused with guidance."""
