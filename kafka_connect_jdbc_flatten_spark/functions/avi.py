@@ -69,7 +69,11 @@ def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
         us_per_frame,
         frame_bytes * int(fps),  # max bytes/sec
         0,  # padding granularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        # dwFlags = 0: no idx1 chunk is written, so AVIF_HASINDEX
+        # (0x10) must stay off — advertising an absent index confuses
+        # external readers (r4 advisory; AVIF_WASCAPTUREFILE is
+        # 0x00010000, not 0x10)
+        0,
         len(fs),
         0,  # initial frames
         1,  # streams

@@ -38,6 +38,31 @@ from .util import spread
 ARROW_ALLPAIRS_MATRIX_BYTES = 256 * 1024 * 1024
 
 
+def _collect_query_matrix(
+    queries: DataFrame, query_id_col: str, query_vec_col: str
+) -> list:
+    """Collect the (query_id, query_vec) side for an Arrow kernel's
+    closure — guarded by the same probe-then-raise byte cap as the
+    all-pairs matrix broadcast (r4 advisory: these collects were the
+    only unguarded driver-side data-plane pulls left; a caller passing
+    a large "query" table would OOM the driver silently).  One narrow
+    aggregate bounds the matrix estimate before anything is pulled."""
+    probe = queries.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(query_vec_col)).alias("dim")
+    ).head()
+    n, dim = probe["n"] or 0, probe["dim"] or 0
+    est_bytes = n * (dim * 8 + 64)
+    if est_bytes > ARROW_ALLPAIRS_MATRIX_BYTES:
+        raise ValueError(
+            f"impl='arrow' would collect ~{est_bytes >> 20} MiB of query "
+            f"vectors (n={n}, dim={dim}) to the driver, over the "
+            f"{ARROW_ALLPAIRS_MATRIX_BYTES >> 20} MiB cap — the Arrow "
+            "kernels broadcast the QUERY side and expect it to be small; "
+            "swap the sides, batch the queries, or use impl='expr'"
+        )
+    return queries.select(query_id_col, query_vec_col).collect()
+
+
 def _round_half_up(arr, dp: int):
     """HALF_UP rounding matching Spark ``F.round`` and DuckDB
     ``round`` — numpy's ``np.round`` is banker's (half-even), which
@@ -148,7 +173,7 @@ def _brute_force_topk_arrow(
     id_type = embeddings.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, score double"
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_query_matrix(queries, query_id_col, query_vec_col)
     if not q_rows:
         return embeddings.sparkSession.createDataFrame(
             [], out_schema + ", rank int"
@@ -718,7 +743,7 @@ def _rerank_rowwise_arrow(
     id_type = cand_vec.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, score double"
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_query_matrix(queries, query_id_col, query_vec_col)
     if not q_rows:
         return cand_vec.sparkSession.createDataFrame([], out_schema)
     q_index = {r[0]: i for i, r in enumerate(q_rows)}

@@ -363,15 +363,24 @@ class LakeTable:
         Requires the diff to carry EVERY data column of this table
         (i.e. produced with the default ``compare_cols``): applying a
         partial-column diff with whole-row LWW would null the
-        un-compared columns.  Columns the SOURCE auto-evolved that this
-        replica lacks trigger the same additive evolution here first
-        (``evolve_schema`` — the apply path mirrors the ingest path's
-        auto-evolve, S10), so an evolving upstream never wedges its
-        replicas.  Scale shape: the ``c``/``u`` rows commit as ONE MOR
-        delta segment (O(diff) IO) and the ``d`` keys as one
-        marker-only delete segment — no full-table rewrite.  Replays of
-        the same ``batch_id`` are no-ops per half (each half has its
-        own writer ledger entry), so foreachBatch re-delivery of a diff
+        un-compared columns.  That validation runs BEFORE any schema
+        evolution (against the post-evolution expected column set,
+        computed without committing), so a rejected diff leaves the
+        replica untouched — metadata included (r4 advisory).  Columns
+        the SOURCE auto-evolved that this replica lacks then trigger
+        the same additive evolution here (``evolve_schema`` — the
+        apply path mirrors the ingest path's auto-evolve, S10), so an
+        evolving upstream never wedges its replicas.
+
+        Scale shape + atomicity: upserts AND tombstones land as ONE
+        ``lww`` MOR delta segment — the ``d`` keys become delete-
+        flagged marker rows (keys + typed nulls, the shape
+        ``delete_where_keys``' mor path writes) in the same commit.
+        O(diff) IO with no full-table rewrite, no mixed-segment-mode
+        compaction between halves, and readers never observe a
+        transient upserts-applied / deletes-pending state (r4
+        advisory).  Replays of the same ``batch_id`` are no-ops (one
+        writer ledger entry), so foreachBatch re-delivery of a diff
         stream is exactly-once.
         """
         m = self.manifest()
@@ -382,14 +391,11 @@ class LakeTable:
             for f in changes.schema.fields
             if f.name != "_op" and f.name.lower() not in have
         ]
-        if extras:
-            self.evolve_schema(
-                T.StructType(
-                    list(self.schema.fields)
-                    + [T.StructField(f.name, f.dataType, True) for f in extras]
-                )
-            )
-        data_cols = [f.name for f in self.schema.fields if f.name not in keys]
+        # validate against the POST-evolution expected columns without
+        # committing the evolution yet — a malformed diff must not
+        # leave a schema-evolution side effect on the replica
+        expected = [f.name for f in self.schema.fields] + [f.name for f in extras]
+        data_cols = [c for c in expected if c not in keys]
         missing = sorted(set(["_op", *keys, *data_cols]) - set(changes.columns))
         if missing:
             raise ValueError(
@@ -397,25 +403,24 @@ class LakeTable:
                 "default compare_cols (all data columns) so LWW apply "
                 "cannot null un-compared columns"
             )
-        upserts = changes.filter(F.col("_op") != "d").select(*keys, *data_cols)
-        stats = {
-            "upserts": self.merge(
-                upserts,
-                mode="lww",
-                batch_id=batch_id,
-                writer_id=f"{writer_id}#changes.upsert",
-                strategy="mor",
+        if extras:
+            self.evolve_schema(
+                T.StructType(
+                    list(self.schema.fields)
+                    + [T.StructField(f.name, f.dataType, True) for f in extras]
+                )
             )
-        }
-        deletes = changes.filter(F.col("_op") == "d").select(*keys)
-        stats["deletes"] = self.delete_where_keys(
-            deletes,
-            scope_keys=keys,
+        batch = changes.select(
+            *keys, *data_cols, (F.col("_op") == "d").alias("__apply_del")
+        )
+        return self.merge(
+            batch,
+            mode="lww",
+            delete_col="__apply_del",
             batch_id=batch_id,
-            writer_id=f"{writer_id}#changes.delete",
+            writer_id=f"{writer_id}#changes",
             strategy="mor",
         )
-        return stats
 
     @staticmethod
     def _delta_bytes(segments: list) -> int:

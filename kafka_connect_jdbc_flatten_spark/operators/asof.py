@@ -133,10 +133,16 @@ def asof_join(
     )
     img = F.col(_IMG)
     if tolerance_sec is not None:
+        # epoch seconds via an intermediate timestamp cast: DateType
+        # (the common dimension shape, e.g. o_orderdate) rejects a
+        # direct date→double cast with AnalysisException (r4 advisory)
+        def _secs(c):
+            return c.cast("timestamp").cast("double")
+
         gap = (
-            (F.col(_ATS).cast("double") - img[_ATS].cast("double"))
+            (_secs(F.col(_ATS)) - _secs(img[_ATS]))
             if direction == "backward"
-            else (img[_ATS].cast("double") - F.col(_ATS).cast("double"))
+            else (_secs(img[_ATS]) - _secs(F.col(_ATS)))
         )
         img = F.when(gap <= float(tolerance_sec), F.col(_IMG))
     sel = []

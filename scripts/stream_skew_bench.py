@@ -190,11 +190,26 @@ def main():
             sys.argv[5] if len(sys.argv) > 5 else "lake",
         )
         return
-    args = [a for a in sys.argv[1:] if not a.startswith("--sinks")]
+    # accept both --sinks=lake,count and --sinks lake,count (the Usage
+    # line shows the space-separated form; r4 advisory: the bare-token
+    # form crashed on split and leaked the value into positional args)
+    argv = list(sys.argv[1:])
+    args: list[str] = []
     sinks = ["lake"]
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sinks"):
-            sinks = a.split("=", 1)[1].split(",")
+            if "=" in a:
+                sinks = a.split("=", 1)[1].split(",")
+            else:
+                if i + 1 >= len(argv):
+                    raise SystemExit("--sinks needs a value, e.g. --sinks lake,count")
+                i += 1
+                sinks = argv[i].split(",")
+        else:
+            args.append(a)
+        i += 1
     n = int(args[0]) if len(args) > 0 else 1
     amp = int(args[1]) if len(args) > 1 else 64
     reps = int(args[2]) if len(args) > 2 else 2

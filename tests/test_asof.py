@@ -92,6 +92,30 @@ def test_asof_forward_and_tolerance(spark, dims, facts):
     assert rows[2] == 3 and rows[4] is None
 
 
+def test_asof_tolerance_on_date_typed_dimension(spark):
+    """r4 advisory: tolerance_sec on a DateType right timestamp (the
+    asof_join gate's o_orderdate shape) raised AnalysisException on
+    the direct date→double cast — epoch seconds now go through an
+    intermediate timestamp cast."""
+    dims = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), "v1"), ("a", dt.date(2024, 1, 10), "v2")],
+        "k string, d date, payload string",
+    )
+    facts = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-02T00:00:00")),  # 1 day after v1 -> within tol
+         (2, "a", _ts("2024-01-08T00:00:00"))],  # 7 days after v1 -> voided
+        "event_id int, k string, ts timestamp",
+    )
+    out = asof_join(
+        facts, dims, on="k", left_ts="ts", right_ts="d",
+        right_cols=["payload"], tolerance_sec=2 * 24 * 3600.0,
+    )
+    rows = {r["event_id"]: r["payload"] for r in out.collect()}
+    assert rows[1] == "v1"
+    assert rows[2] is None  # match exists but beyond tolerance
+    assert out.count() == 2  # LEFT OUTER preserved
+
+
 def test_asof_matches_pandas_merge_asof(spark):
     import numpy as np
 

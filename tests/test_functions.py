@@ -531,6 +531,34 @@ def test_arrow_allpairs_collect_is_byte_guarded(spark, monkeypatch):
     assert again == expect
 
 
+def test_arrow_query_collects_are_byte_guarded(spark, monkeypatch):
+    """r4 review: the Arrow brute-force and row-wise-rerank kernels
+    collect the QUERY side to the driver — an oversized query table
+    must hit the same probe-then-raise byte cap as the all-pairs
+    matrix instead of OOMing the driver; under the cap results match
+    the expr form."""
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    expect = sorted(
+        tuple(r) for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    )
+    monkeypatch.setattr(SIM, "ARROW_ALLPAIRS_MATRIX_BYTES", 0)
+    with pytest.raises(ValueError, match="query"):
+        SIM.brute_force_topk(emb, queries, k=5, impl="arrow")
+    with pytest.raises(ValueError, match="query"):
+        SIM.lsh_topk(emb, queries, k=5, impl="arrow")
+    monkeypatch.setattr(SIM, "ARROW_ALLPAIRS_MATRIX_BYTES", 1 << 30)
+    got = sorted(
+        tuple(r)
+        for r in SIM.brute_force_topk(emb, queries, k=5, impl="arrow").collect()
+    )
+    assert got == expect
+
+
 def test_decode_image_real_png_when_pil_available(spark):
     """r3 review: decode_image is honestly stubbed behind the PIL
     guard — this test self-verifies the kernel the moment the

@@ -142,11 +142,17 @@ def test_apply_changes_syncs_a_replica(spark, table3, tmp_path):
     r.merge(mk(spark, [(1, "a", 1), (2, "b", 1)]), mode="lww", batch_id=0)
     assert state(r.read()) == state(t.read(version=v1))
 
+    before = r.manifest()
     r.apply_changes(t.read_changes(v1, v3), batch_id=1)
     assert state(r.read()) == state(t.read(version=v3))
+    # atomic: upserts + tombstones land as ONE commit adding ONE lww
+    # segment (no separate delete segment, no intermediate compaction)
+    assert r.manifest()["version"] == before["version"] + 1
+    added = r.manifest()["segments"][len(before.get("segments", [])):]
+    assert [s["mode"] for s in added] == ["lww"]
 
     st = r.apply_changes(t.read_changes(v1, v3), batch_id=1)
-    assert st["upserts"].get("skipped") and st["deletes"].get("skipped")
+    assert st.get("skipped")
     assert state(r.read()) == state(t.read(version=v3))
 
 
@@ -182,6 +188,33 @@ def test_apply_changes_rejects_partial_column_diff(spark, table3, tmp_path):
     r = LakeTable.create(spark, str(tmp_path / "r2"), SCHEMA, ["k"], n_buckets=4)
     with pytest.raises(ValueError, match="lack columns"):
         r.apply_changes(t.read_changes(v1, compare_cols=["v"]))
+
+
+def test_rejected_apply_leaves_replica_metadata_untouched(spark, tmp_path):
+    """A malformed (partial-column) diff that ALSO carries new columns
+    must not commit a schema evolution before raising — validation runs
+    against the post-evolution column set without committing (r4
+    advisory)."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), SCHEMA, ["k"], n_buckets=2)
+    src.merge(mk(spark, [(1, "a", 1)]), mode="lww", batch_id=0)
+    v1 = src.manifest()["version"]
+    wide = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("extra", T.StringType(), True)]
+    )
+    src.evolve_schema(wide)
+    src.merge(
+        spark.createDataFrame([(1, "a2", 2, "x")], wide), mode="lww", batch_id=1
+    )
+    v2 = src.manifest()["version"]
+
+    rep = LakeTable.create(spark, str(tmp_path / "rep2"), SCHEMA, ["k"], n_buckets=2)
+    before_version = rep.manifest()["version"]
+    # compare_cols subset: carries the NEW column but not v → must be
+    # rejected with zero side effects
+    with pytest.raises(ValueError, match="lack columns"):
+        rep.apply_changes(src.read_changes(v1, v2, compare_cols=["extra"]))
+    assert "extra" not in [f.name for f in rep.schema.fields]
+    assert rep.manifest()["version"] == before_version
 
 
 def test_read_changes_plan_is_one_full_outer_join(spark, table3):
