@@ -8,42 +8,91 @@ representative per group.  The cluster step is what makes it tractable
 — the quadratic pair search runs inside clusters of ~n/k vectors
 instead of across the corpus.
 
-Spark shape (100 TB corpus):
+Spark shape (100 TB corpus; SemDeDup's published config is k≈11 000
+clusters over 600 M documents at dim 512-1024 — every piece below has
+a path that survives that):
 
 * **Training** reuses the IVF coarse quantizer
   (:func:`.similarity.ivf_train_centroids`): deterministic lowest-id
   init + Lloyd iterations as DataFrame jobs, optionally over a
   ``train_fraction`` sample — only ``k·dim`` floats reach the driver.
-* **Assignment is a scan-local expression** — an ``array_sort`` argmin
-  over literal centroids, no shuffle, whole-stage-codegen'd.  The
-  score is the expanded form ``c·c − 2·(v·c)`` (the ``v·v`` term is
-  constant per vector and cannot change its argmin), each dot a
-  summation-order-exact fold, so the DuckDB oracle reproduces the
-  assignment bit-for-bit with ``list_dot_product``.
-* **Pairs**: one equi-join on the cluster id with ``id1 < id2`` —
-  quadratic strictly within clusters (the SemDeDup contract; size k
-  with the corpus so clusters stay bounded).  A pathological hot
-  cluster is visible as join skew; raise ``k`` or pre-split on a
-  secondary LSH bit before resorting to salting.
+  Above ``ASSIGN_EXPR_MAX_TERMS`` literal terms the Lloyd assignment
+  runs as the Arrow argmin (below).
+* **Assignment** has two impls, auto-selected on ``k·dim``:
+
+  - ``expr`` (small k, the ORACLE path): a scan-local ``array_sort``
+    argmin over literal centroids, no shuffle, whole-stage-codegen'd.
+    The score is the expanded form ``c·c − 2·(v·c)`` (the ``v·v``
+    term is constant per vector and cannot change its argmin), each
+    dot a summation-order-exact fold, so the DuckDB oracle reproduces
+    the assignment bit-for-bit with ``list_dot_product``.
+  - ``arrow`` (real k): :func:`.similarity.assign_nearest_arrow` —
+    the k·dim centroid matrix ships once per executor via broadcast
+    and each Arrow batch pays one GEMM; the plan size is CONSTANT in
+    k (r4 verdict #1: the literal form is 10⁷-10⁸ plan literals at
+    SemDeDup k, which Catalyst/Janino cannot compile).
+
+  Same ordering math in both (ties to lowest cid); equality is
+  asserted in tests at k∈{8, 256}.
+* **Hot-cluster pre-split** (``split_above``): k-means on skewed
+  corpora can leave a pathological mega-cluster whose quadratic pair
+  stage dominates.  Clusters larger than ``split_above`` are split by
+  secondary sign-LSH bits of the vector (deterministic md5 planes,
+  :func:`.similarity._bucket_expr`) into ``2^b`` sub-clusters sized
+  back under the cap — near-identical vectors hash to the same bucket
+  with probability ≈ (1-θ/π)^b ≈ 1 at dup-level similarity, so real
+  duplicates stay co-bucketed while the n² cost drops by 4^b.  Pairs
+  ACROSS sub-buckets of one hot cluster are forfeited — the standard
+  LSH recall trade, surfaced as an explicit parameter instead of a
+  silent OOM.
+* **Pairs** also has two impls, auto-selected with the assignment:
+
+  - ``expr``: one equi-join on the cluster id with ``id1 < id2`` —
+    SQL-mirrorable, but each cluster's vectors ride the exchange
+    twice and every candidate pair materializes both vectors before
+    the cosine filter.
+  - ``arrow``: one ``applyInPandas`` grouped by cluster id — vectors
+    shuffle ONCE, the per-cluster all-pairs runs as a single
+    normalized GEMM inside BLAS, and only (id1, id2, cos) rows above
+    the threshold ever materialize (r4 verdict: the within-cluster
+    quadratic belongs in a grouped kernel, not a join).
+
 * **Grouping**: the pointer-jumping distributed connected components
   of :func:`.cluster.connected_components` (O(log n) rounds, lineage
   truncated per round).
 
 The exact-oracle gate runs ``iters=0`` (centroids = the k lowest-id
-vectors — the quantizer's deterministic init), which exercises the
-full assignment/pair/closure pipeline with SQL-expressible centroids;
-Lloyd-iterated configs are cross-checked against a Python reference
+vectors — the quantizer's deterministic init) with the ``expr`` impls,
+which exercises the full assignment/pair/closure pipeline with
+SQL-expressible centroids; Lloyd-iterated configs and the Arrow impls
+are cross-checked against the expression forms and a Python reference
 model in pytest.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .cluster import connected_components
-from .similarity import cosine, dot, ivf_train_centroids
+from .similarity import (
+    ASSIGN_EXPR_MAX_TERMS,
+    _bucket_expr,
+    _round_half_up,
+    assign_nearest_arrow,
+    cosine,
+    dot,
+    ivf_train_centroids,
+)
 from .util import spread
+
+# secondary-LSH bit budget for the hot-cluster pre-split: up to 2^6=64
+# sub-clusters per hot cluster — enough to tame a 64×-over-cap cluster;
+# beyond that raise k instead (more, finer clusters is the SemDeDup
+# answer to a lumpy embedding space, pre-split is the escape hatch)
+_PRESPLIT_MAX_BITS = 6
 
 
 def _assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
@@ -60,41 +109,67 @@ def _assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     return F.array_sort(F.array(*pairs))[0]["i"]
 
 
-def semantic_dedup(
-    embeddings: DataFrame,
-    k: int = 8,
-    threshold: float = 0.95,
-    iters: int = 0,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_dp: int = 4,
-    train_fraction: float = 1.0,
+def _presplit_hot_clusters(
+    assigned: DataFrame,
+    vec_col: str,
+    split_above: int,
+    dim: int,
 ) -> DataFrame:
-    """Semantic near-duplicate groups: ``(id_col, cluster_rep, keep)``
-    for every vector belonging to a within-cluster cosine-≥-threshold
-    component.  ``cluster_rep`` is the minimum member id (the kept
-    representative); vectors with no semantic duplicate are absent —
-    anti-join the corpus against ``keep = 0`` rows to drop dups."""
-    cents = ivf_train_centroids(
-        embeddings,
-        k=k,
-        iters=iters,
-        vec_col=vec_col,
-        id_col=id_col,
-        train_fraction=train_fraction,
+    """Rewrite ``__cid`` so no cluster exceeds ``split_above`` members
+    (up to the ``2^_PRESPLIT_MAX_BITS`` sub-split ceiling).
+
+    One tiny aggregate (≤k rows — k is caller-bounded, never data-
+    sized) finds the hot clusters and their required split depth; the
+    per-row sub-bucket is a scan-local sign-LSH expression, and the
+    (cid → depth) map rides a broadcast join on the short cid key.
+    Sub-cluster ids pack as ``cid · 2^maxbits + (bucket mod 2^depth)``
+    — cold clusters keep depth 0 and map to ``cid · 2^maxbits``,
+    preserving disjointness.
+    """
+    sizes = assigned.groupBy("__cid").count().collect()
+    splits = []
+    for r in sizes:
+        if r["count"] > split_above:
+            b = min(
+                _PRESPLIT_MAX_BITS,
+                max(1, math.ceil(math.log2(r["count"] / split_above))),
+            )
+            splits.append((int(r["__cid"]), 1 << b))  # sub-cluster count
+    if not splits:
+        return assigned
+    spark = assigned.sparkSession
+    dmap = spark.createDataFrame(splits, "__cid int, __nsplit long")
+    bucket = _bucket_expr(F.col(vec_col), dim, _PRESPLIT_MAX_BITS, 971)
+    scale = F.lit(1 << _PRESPLIT_MAX_BITS).cast("long")
+    return (
+        assigned.join(F.broadcast(dmap), "__cid", "left")
+        .withColumn(
+            "__cid",
+            (
+                F.col("__cid").cast("long") * scale
+                + F.pmod(bucket, F.coalesce(F.col("__nsplit"), F.lit(1).cast("long")))
+            ),
+        )
+        .drop("__nsplit")
     )
-    assigned = spread(embeddings).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _assign_expr(vec_col, cents).alias("__cid"),
-    )
+
+
+def _pairs_expr(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_dp: int,
+) -> DataFrame:
+    """Within-cluster pairs as an equi-join on the cluster id — the
+    SQL-mirrorable small-scale form."""
     a = assigned.select(
         F.col("__cid"), F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1")
     )
     b = assigned.select(
         F.col("__cid"), F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2")
     )
-    pairs = (
+    return (
         a.join(b, on="__cid")
         .filter(F.col("id1") < F.col("id2"))
         .select(
@@ -104,6 +179,123 @@ def semantic_dedup(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _pairs_grouped_arrow(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_dp: int,
+) -> DataFrame:
+    """Within-cluster pairs as ONE grouped Arrow GEMM per cluster
+    (``applyInPandas`` over ``__cid``): vectors ride the group-by
+    shuffle exactly once and only over-threshold (id1, id2, cos) rows
+    materialize — vs the equi-join form, which exchanges each
+    cluster's vectors twice and builds every candidate pair row before
+    filtering (r4 verdict #1).  Same float64 dot/|a||b| math and
+    HALF_UP rounding as the expr form.  A whole cluster must fit one
+    worker's memory — the SemDeDup contract (k scales with the corpus)
+    plus the ``split_above`` pre-split keep that bounded.
+    """
+    import pandas as pd
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"id1 {id_type}, id2 {id_type}, cos double"
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cos": []})
+        pdf = pdf.sort_values(id_col)  # upper triangle ⇒ id1 < id2 by VALUE
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        S = _round_half_up(
+            (V @ V.T) / norms[:, None] / norms[None, :], round_dp
+        )
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"id1": ids[iu[keep]], "id2": ids[ju[keep]], "cos": S[iu, ju][keep]}
+        )
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(assigned.sparkSession)
+    return (
+        assigned.select("__cid", id_col, vec_col)
+        .groupBy("__cid")
+        .applyInPandas(per_cluster, schema=out_schema)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    train_fraction: float = 1.0,
+    assign_impl: str = "auto",
+    pair_impl: str = "auto",
+    split_above: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate groups: ``(id_col, cluster_rep, keep)``
+    for every vector belonging to a within-cluster cosine-≥-threshold
+    component.  ``cluster_rep`` is the minimum member id (the kept
+    representative); vectors with no semantic duplicate are absent —
+    anti-join the corpus against ``keep = 0`` rows to drop dups.
+
+    ``assign_impl`` / ``pair_impl``: ``"auto"`` keeps the exact-oracle
+    expression forms while ``k·dim ≤ ASSIGN_EXPR_MAX_TERMS`` and
+    switches BOTH to the Arrow kernels above it (broadcast-matrix
+    argmin; grouped per-cluster GEMM) — the forms that survive
+    SemDeDup-scale k.  ``split_above`` caps cluster sizes via a
+    secondary-LSH pre-split (see module docstring).
+    """
+    if assign_impl not in ("auto", "expr", "arrow"):
+        raise ValueError(f"assign_impl must be auto|expr|arrow, got {assign_impl!r}")
+    if pair_impl not in ("auto", "expr", "arrow"):
+        raise ValueError(f"pair_impl must be auto|expr|arrow, got {pair_impl!r}")
+    dim = len(embeddings.select(vec_col).first()[0])
+    cents = ivf_train_centroids(
+        embeddings,
+        k=k,
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        train_fraction=train_fraction,
+        assign_impl=assign_impl,
+    )
+    big = k * dim > ASSIGN_EXPR_MAX_TERMS
+    use_arrow_assign = assign_impl == "arrow" or (assign_impl == "auto" and big)
+    use_arrow_pairs = pair_impl == "arrow" or (pair_impl == "auto" and big)
+
+    if use_arrow_assign:
+        assigned = assign_nearest_arrow(
+            spread(embeddings), cents, vec_col, keep_cols=[id_col, vec_col],
+            out_col="__cid",
+        )
+    else:
+        assigned = spread(embeddings).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _assign_expr(vec_col, cents).alias("__cid"),
+        )
+    if split_above is not None:
+        assigned = _presplit_hot_clusters(assigned, vec_col, split_above, dim)
+
+    if use_arrow_pairs:
+        pairs = _pairs_grouped_arrow(assigned, id_col, vec_col, threshold, round_dp)
+    else:
+        pairs = _pairs_expr(assigned, id_col, vec_col, threshold, round_dp)
     comp = connected_components(pairs)
     return comp.select(
         F.col("id").alias(id_col),

@@ -37,6 +37,16 @@ from .util import spread
 # it the kernel refuses and points at the LSH scale path
 ARROW_ALLPAIRS_MATRIX_BYTES = 256 * 1024 * 1024
 
+# literal-centroid expressions (argmin over k struct terms of dim
+# literals each) are scan-local and SQL-mirrorable, but Catalyst plan
+# size / Janino codegen grow with k·dim — at SemDeDup-scale k (10⁴-10⁵
+# clusters × 512-1024 dims) the plan cannot compile long before the
+# data is a problem (r4 verdict).  Above this many literal terms the
+# "auto" assignment impls switch to the Arrow argmin over a broadcast
+# centroid matrix; below it the expression path keeps the exact-oracle
+# property (summation order identical to DuckDB's list_dot_product).
+ASSIGN_EXPR_MAX_TERMS = 8192
+
 
 def _collect_query_matrix(
     queries: DataFrame, query_id_col: str, query_vec_col: str
@@ -569,6 +579,75 @@ def _nearest_cids(vec: Column, centroids: list[list[float]], n: int) -> Column:
     return F.slice(F.array_sort(pairs), 1, n).getField("i")
 
 
+def assign_nearest_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    keep_cols: list[str],
+    n: int = 1,
+    out_col: str = "cid",
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow ``mapInPandas`` argmin
+    over a broadcast centroid matrix — the large-k form of
+    ``_nearest_cids`` / ``semantic._assign_expr`` (r4 verdict #1).
+
+    Identical ordering math to the expression path: score is the
+    expanded ``c·c − 2·(v·c)`` (the constant ``v·v`` cannot change an
+    argmin over c), ties to the LOWEST centroid id (``np.argmin`` /
+    stable argsort both break ties toward the first index, matching
+    the ``(d, cid)`` struct sort).  Scale shape: the k·dim float64
+    matrix ships ONCE per executor via ``sparkContext.broadcast``
+    (k=10⁵ × dim=1024 ≈ 800 MB is the practical ceiling — far beyond
+    any plan-literal form); the scan stays embarrassingly parallel
+    with zero exchanges, and each Arrow batch costs one GEMM.
+
+    ``n=1`` emits ``out_col int`` (the cluster id); ``n>1`` emits
+    ``out_col array<int>`` (the IVF probe list).  Float caveat: the
+    GEMM's pairwise summation can differ from the fold's sequential
+    order in the last ulp, flipping argmin only on exact near-ties —
+    equality with the expression path is asserted in tests on the gate
+    data; the DuckDB ORACLE gate stays on the expression form.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError("centroids must be a non-empty k×dim matrix")
+    c2 = np.einsum("ij,ij->i", C, C)
+    bc = df.sparkSession.sparkContext.broadcast((C, c2))
+
+    in_cols = list(keep_cols)
+    if vec_col not in in_cols:
+        in_cols.append(vec_col)
+    field_sql = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    out_type = "int" if n == 1 else "array<int>"
+    out_schema = f"{field_sql}, {out_col} {out_type}"
+
+    def kernel(batches):
+        import numpy as np
+
+        C, c2 = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            D = c2[None, :] - 2.0 * (V @ C.T)
+            out = pdf[list(keep_cols)].copy()
+            if n == 1:
+                out[out_col] = np.argmin(D, axis=1).astype("int32")
+            else:
+                order = np.argsort(D, axis=1, kind="stable")[:, : min(n, C.shape[0])]
+                out[out_col] = [row.astype("int32").tolist() for row in order]
+            yield out
+
+    ensure_package_shipped(df.sparkSession)
+    return df.select(*in_cols).mapInPandas(kernel, schema=out_schema)
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     k: int = 16,
@@ -577,6 +656,7 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_fraction: float = 1.0,
+    assign_impl: str = "auto",
 ) -> list[list[float]]:
     """Deterministic k-means coarse quantizer (the IVF training step).
 
@@ -620,15 +700,29 @@ def ivf_train_centroids(
             "raise train_fraction"
         )
     centroids = [[float(x) for x in r[0]] for r in init]
+    use_arrow = assign_impl == "arrow" or (
+        assign_impl == "auto" and k * dim > ASSIGN_EXPR_MAX_TERMS
+    )
+    if assign_impl not in ("auto", "expr", "arrow"):
+        raise ValueError(f"assign_impl must be auto|expr|arrow, got {assign_impl!r}")
     for _ in range(iters):
-        # two-step select: combining the struct-array argmin with a
-        # posexplode in ONE select makes the Generate rewrite re-resolve
-        # the unresolved lambda struct and its field names degrade to
-        # col1/col2 (FIELD_NOT_FOUND on `i`) — resolve cid first.
-        assigned = train.select(
-            _nearest_cids(F.col(vec_col), centroids, 1)[0].alias("cid"),
-            F.col(vec_col).alias("_v"),
-        ).select("cid", F.posexplode("_v").alias("pos", "x"))
+        if use_arrow:
+            # large-k Lloyd assignment: broadcast centroid matrix +
+            # Arrow argmin — the literal-centroid expression would put
+            # k·dim floats in the plan (r4 verdict #1)
+            assigned = assign_nearest_arrow(
+                train, centroids, vec_col, keep_cols=[vec_col], n=1
+            ).select("cid", F.posexplode(vec_col).alias("pos", "x"))
+        else:
+            # two-step select: combining the struct-array argmin with a
+            # posexplode in ONE select makes the Generate rewrite
+            # re-resolve the unresolved lambda struct and its field
+            # names degrade to col1/col2 (FIELD_NOT_FOUND on `i`) —
+            # resolve cid first.
+            assigned = train.select(
+                _nearest_cids(F.col(vec_col), centroids, 1)[0].alias("cid"),
+                F.col(vec_col).alias("_v"),
+            ).select("cid", F.posexplode("_v").alias("pos", "x"))
         means = (
             assigned.groupBy("cid", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
@@ -659,6 +753,7 @@ def ivf_topk(
     round_dp: int = 4,
     train_fraction: float = 1.0,
     impl: str = "expr",
+    assign_impl: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the table into
     ``n_centroids`` inverted lists, probe the ``nprobe`` lists nearest
@@ -679,20 +774,32 @@ def ivf_topk(
         dim = len(embeddings.select(vec_col).first()[0])
     centroids = ivf_train_centroids(
         embeddings, n_centroids, dim, iters, vec_col, id_col,
-        train_fraction=train_fraction,
+        train_fraction=train_fraction, assign_impl=assign_impl,
     )
-    indexed = spread(embeddings).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _nearest_cids(F.col(vec_col), centroids, 1)[0].alias("cid"),
+    use_arrow_assign = assign_impl == "arrow" or (
+        assign_impl == "auto" and n_centroids * dim > ASSIGN_EXPR_MAX_TERMS
     )
-    # same two-step shape as the train assignment: explode() of the
-    # lambda-struct argmin in one select trips the Generate re-resolve
-    q_probe = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        _nearest_cids(F.col(query_vec_col), centroids, nprobe).alias("_probe"),
-    ).select(query_id_col, query_vec_col, F.explode("_probe").alias("cid"))
+    if use_arrow_assign:
+        indexed = assign_nearest_arrow(
+            spread(embeddings), centroids, vec_col, keep_cols=[id_col, vec_col]
+        )
+        q_probe = assign_nearest_arrow(
+            queries, centroids, query_vec_col,
+            keep_cols=[query_id_col, query_vec_col], n=nprobe, out_col="_probe",
+        ).select(query_id_col, query_vec_col, F.explode("_probe").alias("cid"))
+    else:
+        indexed = spread(embeddings).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_cids(F.col(vec_col), centroids, 1)[0].alias("cid"),
+        )
+        # same two-step shape as the train assignment: explode() of the
+        # lambda-struct argmin in one select trips the Generate re-resolve
+        q_probe = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            _nearest_cids(F.col(query_vec_col), centroids, nprobe).alias("_probe"),
+        ).select(query_id_col, query_vec_col, F.explode("_probe").alias("cid"))
     if impl == "arrow":
         cand_vec = indexed.join(
             F.broadcast(q_probe.select(query_id_col, "cid")), "cid"

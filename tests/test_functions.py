@@ -248,6 +248,25 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
     assert ivf == exact
 
 
+def test_ivf_arrow_assignment_matches_expr(spark):
+    """r4 verdict #1 (the _nearest_cids literal pattern): the Arrow
+    broadcast-matrix assignment must give the identical index, probe
+    list, and results as the literal-centroid expression path."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    expr = {(r.query_id, r.vec_id, r.score, r.rank)
+            for r in SIM.ivf_topk(
+                emb, q, k=5, n_centroids=4, nprobe=2, iters=1, dim=64,
+                assign_impl="expr").collect()}
+    arrow = {(r.query_id, r.vec_id, r.score, r.rank)
+             for r in SIM.ivf_topk(
+                 emb, q, k=5, n_centroids=4, nprobe=2, iters=1, dim=64,
+                 assign_impl="arrow").collect()}
+    assert arrow == expr and len(arrow) > 0
+
+
 def test_ivf_full_probe_exact_under_train_sampling(spark):
     """r02 verdict #4: train_fraction samples the k-means TRAINING scan
     only — centroids move, but full-probe search stays exactly brute
