@@ -512,6 +512,43 @@ SELECT event_id, props, 'text' FROM events
 """
 
 
+def q_table_name_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.name.format parity (round 5): destination names pass
+    through the ``${topic}`` template AFTER rename + case forcing
+    (``JdbcDbWriter.java:88,103,233-241``) — a reference user with
+    ``table.name.format=dw_${topic}`` carries their config over.  The
+    flattened rows are tagged with the resolved destination name so
+    the naming rule itself is oracle-checked."""
+    cfg = FlattenConfig(
+        topic="events",
+        table_name_format="dw_${topic}",
+        rename_tables={"events_eventattrs_attrs": "attr_map"},
+        pk_mode="flatten",
+        pk_fields=("root.key",),
+        rename_fields={"root.key": "evt_id"},
+    )
+    plan = compile_flatten_plan(
+        _EVENT_ATTRS_KEY,
+        _EVENT_ATTRS_VALUE,
+        cfg,
+        value_record_name="EventAttrs",
+        key_record_name="EventKey",
+    )
+    spec = next(t for t in plan.tables if t.table_name == "dw_attr_map")
+    return flatten_table(_event_attrs_changelog(spark, sf_dir), spec).select(
+        "*", F.lit(spec.table_name).alias("dest_table")
+    )
+
+
+TABLE_NAME_FORMAT_SQL = """
+SELECT event_id AS evt_id, event_type AS attrs,
+       'role' AS eventattrs_attrs_key, 'dw_attr_map' AS dest_table
+FROM events
+UNION ALL
+SELECT event_id, props, 'text', 'dw_attr_map' FROM events
+"""
+
+
 def q_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC tail criteria (S2/S3): resume after the 100th
     change in (ts, seq) order — ``WHERE (ts = last AND seq > lastSeq)
@@ -528,6 +565,51 @@ INCREMENTAL_TAIL_SQL = """
 WITH b AS (SELECT ts, event_id FROM events ORDER BY ts, event_id LIMIT 1 OFFSET 99)
 SELECT e.* FROM events e, b
 WHERE (e.ts = b.ts AND e.event_id > b.event_id) OR e.ts > b.ts
+"""
+
+
+def q_incremental_tail_multits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-timestamp-column criteria (S3, round 5): a nullable
+    ``updated_at`` beside ``created_at`` — every ts occurrence in the
+    predicate/order is ``COALESCE(updated_at, created_at)``, the
+    reference's ``coalesceTimestampColumns``
+    (``TimestampIncrementingCriteria.java:283-293``).  The two-column
+    fixture derives deterministically from ``events`` (updated_at =
+    ts + 1h on every third event)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("ts") + F.expr("INTERVAL 1 HOUR")
+        ).alias("updated_at"),
+        F.col("ts").alias("created_at"),
+    )
+    crit = IncrementalCriteria(
+        ts_col=["updated_at", "created_at"], inc_col="event_id"
+    )
+    boundary = (
+        ev.orderBy(crit.ts_expr(), "event_id")
+        .offset(99)
+        .limit(1)
+        .select(crit.ts_expr().alias("eff"), "event_id")
+        .collect()[0]
+    )
+    return ev.filter(crit.predicate(boundary["eff"], boundary["event_id"]))
+
+
+INCREMENTAL_TAIL_MULTITS_SQL = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN ts + INTERVAL 1 HOUR END AS updated_at,
+         ts AS created_at
+  FROM events
+),
+b AS (
+  SELECT COALESCE(updated_at, created_at) AS eff, event_id
+  FROM t ORDER BY eff, event_id LIMIT 1 OFFSET 99
+)
+SELECT t.event_id, t.updated_at, t.created_at FROM t, b
+WHERE (COALESCE(t.updated_at, t.created_at) = b.eff AND t.event_id > b.event_id)
+   OR COALESCE(t.updated_at, t.created_at) > b.eff
 """
 
 
@@ -1850,8 +1932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_pk_propagation": q_flatten_pk_propagation,
         "flatten_nested_struct": q_flatten_nested_struct,
         "incremental_tail": q_incremental_tail,
+        "incremental_tail_multits": q_incremental_tail_multits,
         "poller_drain": q_poller_drain,
         "flatten_uppercase": q_flatten_uppercase,
+        "table_name_format": q_table_name_format,
         "lww_window": q_lww_window,
         "lww_aggregate": q_lww_aggregate,
         "lww_salted": q_lww_salted,
@@ -1926,8 +2010,10 @@ def oracle_sql() -> dict[str, str]:
         "flatten_pk_propagation": PK_PROPAGATION_SQL,
         "flatten_nested_struct": NESTED_STRUCT_SQL,
         "incremental_tail": INCREMENTAL_TAIL_SQL,
+        "incremental_tail_multits": INCREMENTAL_TAIL_MULTITS_SQL,
         "poller_drain": POLLER_DRAIN_SQL,
         "flatten_uppercase": UPPERCASE_SQL,
+        "table_name_format": TABLE_NAME_FORMAT_SQL,
         "lww_window": LWW_SQL,
         "lww_aggregate": LWW_SQL,
         "lww_salted": LWW_SQL,

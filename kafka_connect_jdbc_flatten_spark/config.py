@@ -45,6 +45,14 @@ class FlattenConfig:
     # (PrimaryKeyMode, JdbcSinkConfig.java:55-61, :144-171)
     pk_mode: str = "none"
     pk_fields: tuple[str, ...] = ()
+    # table.name.format (JdbcSinkConfig.java:89, default "${topic}"):
+    # every destination table name — the topic in non-flatten mode AND
+    # each flatten-produced (possibly renamed) table name — passes
+    # through destinationTable(), which substitutes it for "${topic}"
+    # in this template (JdbcDbWriter.java:88,103,208,233-241).  The
+    # template's literal parts are used verbatim (not case-forced);
+    # an empty result raises, mirroring the ConnectException.
+    table_name_format: str = "${topic}"
     pk_propagate_value_fields: tuple[str, ...] = ()  # :312-318
     delete_enabled: bool = False  # :116-118
     insert_mode: str = "upsert"  # "insert" | "update" | "upsert"  (:133-139)
@@ -65,6 +73,21 @@ class FlattenConfig:
     def case(self, name: str) -> str:
         """Case-force a name (``FlattenTransformation.java:723-725``)."""
         return name.upper() if self.uppercase else name.lower()
+
+    def destination_table(self, name: str) -> str:
+        """Apply the ``table.name.format`` template to a (renamed,
+        case-forced) table name — ``JdbcDbWriter.java:233-241``.
+        Precedence matches the reference writer: rename map first
+        (``:103``), then case forcing, then the template substitution;
+        an empty result raises like the ConnectException (``:235-240``)."""
+        out = self.table_name_format.replace("${topic}", name)
+        if not out:
+            raise ValueError(
+                f"Destination table name for topic {name!r} is empty using "
+                f"the format string {self.table_name_format!r} "
+                "(table.name.format, JdbcDbWriter.java:233-241)"
+            )
+        return out
 
     def rename_or_path(self, path: str, field_name: str, full_path: bool) -> str:
         """Target-name rule (``FlattenTransformation.java:727-736``).

@@ -506,7 +506,10 @@ def compile_flatten_plan(
         )
         tables.append(
             TableSpec(
-                table_name=cfg.case(renamed),
+                # rename → case → table.name.format template, the
+                # reference writer's destinationTable() order
+                # (JdbcDbWriter.java:88,103,233-241)
+                table_name=cfg.destination_table(cfg.case(renamed)),
                 full_table_name=full_table_name,
                 container_path=container_path,
                 chain=chain,

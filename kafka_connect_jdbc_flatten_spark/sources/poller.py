@@ -39,10 +39,25 @@ class TablePoller:
     """
 
     mode: str = "timestamp+incrementing"
-    ts_col: str | None = "ts"
+    # one column, or a LIST of columns with COALESCE semantics — the
+    # reference's multi-timestamp-column mode (first non-null wins;
+    # TimestampIncrementingCriteria.java:283-293, the nullable
+    # ``updated_at``-beside-``created_at`` CDC shape)
+    ts_col: str | tuple[str, ...] | list[str] | None = "ts"
     inc_col: str | None = "seq"
     batch_max_rows: int = 100
     timestamp_delay_ms: int = 0
+    # validate.non.null (JdbcSourceConnectorConfig.java:247-253,
+    # JdbcSourceTask.java:414-469, default true): before the first
+    # poll, fail if the offset columns can carry nulls — an
+    # incrementing column with ANY null row, or a timestamp column
+    # set whose COALESCE is ever null (the reference requires the inc
+    # column NOT NULL and ≥1 non-optional ts column; with no catalog
+    # constraint to inspect, the data-level check is the Spark
+    # analogue).  A null offset row would otherwise be skipped
+    # forever with no error.  False skips the check — null-ts rows
+    # are then silently invisible to the tail (documented).
+    validate_non_null: bool = True
     # first-poll offset seeding (``timestamp.initial``,
     # ``JdbcSourceTask.java:280-309``, ``JdbcSourceConnectorConfig.java:
     # 178-184``): a datetime starts the tail AFTER that instant;
@@ -60,10 +75,38 @@ class TablePoller:
             self.ts_col = None
         elif self.mode == "timestamp":
             self.inc_col = None
+        self._validated = False
 
     @property
     def criteria(self) -> IncrementalCriteria:
         return IncrementalCriteria(ts_col=self.ts_col, inc_col=self.inc_col)
+
+    def _validate_non_null(self, df: DataFrame) -> None:
+        """First-poll offset-column null check — the Spark analogue of
+        the reference's fail-to-start validation (see field doc)."""
+        crit = self.criteria
+        checks = []
+        if self.inc_col:
+            checks.append(
+                (F.col(self.inc_col).isNull(),
+                 f"incrementing column {self.inc_col!r}")
+            )
+        if crit.ts_cols:
+            checks.append(
+                (crit.ts_expr().isNull(),
+                 f"timestamp column(s) {list(crit.ts_cols)}")
+            )
+        for cond, what in checks:
+            if df.filter(cond).limit(1).count() > 0:
+                raise ValueError(
+                    f"Cannot make incremental queries using {what}: null "
+                    "values present — such rows would be skipped forever. "
+                    "Make the column(s) non-null (or COALESCE-able via a "
+                    "ts_col list), or set validate_non_null=False to "
+                    "accept that null-offset rows are invisible to the "
+                    "tail (validate.non.null, "
+                    "JdbcSourceConnectorConfig.java:247-253)"
+                )
 
     def _last(self) -> tuple[datetime.datetime | None, int | None]:
         ts = self.offset.get("timestamp")
@@ -92,25 +135,30 @@ class TablePoller:
         if self.mode == "bulk":
             return df
 
+        crit = self.criteria
+        if self.validate_non_null and not self._validated:
+            self._validate_non_null(df)
+            self._validated = True
+
         # the late-transaction guard must hold even when the caller
         # passes no end bound — the reference ALWAYS bounds by current
         # DB time minus the delay (endTimetampValue,
         # TimestampIncrementingTableQuerier.java:208-214)
-        if self.timestamp_delay_ms > 0 and end_ts is None and self.ts_col:
+        if self.timestamp_delay_ms > 0 and end_ts is None and crit.ts_cols:
             end_ts = datetime.datetime.now()
 
         last_ts, last_inc = self._last()
-        if self.ts_col and last_ts is None:
+        if crit.ts_cols and last_ts is None:
             last_ts = datetime.datetime(1970, 1, 1)
         if self.inc_col and last_inc is None:
             last_inc = -1
 
         filtered = df.filter(
-            self.criteria.predicate(
+            crit.predicate(
                 last_ts, last_inc, end_ts=end_ts, delay_ms=self.timestamp_delay_ms
             )
         )
-        order = [F.col(c).asc() for c in (self.ts_col, self.inc_col) if c]
+        order = [e.asc() for e in crit.order_exprs()]
         batch = filtered.orderBy(*order).limit(self.batch_max_rows)
 
         if self.mode == "timestamp":
@@ -122,21 +170,27 @@ class TablePoller:
             # chunks one open ResultSet; our analogue is to extend the
             # batch to ALL rows at the boundary ts (may exceed
             # batch_max_rows by the boundary group size).
-            boundary = batch.agg(F.max(self.ts_col)).collect()[0][0]
+            boundary = batch.agg(F.max(crit.ts_expr())).collect()[0][0]
             if boundary is None:
                 return batch  # empty
             self.offset["timestamp"] = boundary.isoformat()
-            return filtered.filter(F.col(self.ts_col) <= F.lit(boundary))
+            return filtered.filter(crit.ts_expr() <= F.lit(boundary))
 
         # advance the offset to the max (ts, inc) of the batch — one
         # tiny aggregate, the Spark analogue of per-row extractValues
-        agg_cols = [c for c in (self.ts_col, self.inc_col) if c]
+        # (multi-ts: the effective ts is the COALESCE, exactly the
+        # first-non-null extractOffsetTimestamp walk, :218-226)
+        agg_exprs = []
+        if crit.ts_cols:
+            agg_exprs.append(crit.ts_expr().alias("__ts"))
+        if self.inc_col:
+            agg_exprs.append(F.col(self.inc_col).alias("__inc"))
         tail = batch.agg(
-            F.max(F.struct(*[F.col(c) for c in agg_cols])).alias("m")
+            F.max(F.struct(*agg_exprs)).alias("m")
         ).collect()[0]["m"]
         if tail is not None:
             vals = list(tail)
-            if self.ts_col:
+            if crit.ts_cols:
                 self.offset["timestamp"] = vals.pop(0).isoformat()
             if self.inc_col:
                 self.offset["incrementing"] = vals.pop(0)

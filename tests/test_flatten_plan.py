@@ -287,6 +287,46 @@ def test_uppercase():
     assert "FIRSTNAME" in cols(plan, "ATOPIC_PERSON")
 
 
+def test_table_name_format_template():
+    """table.name.format parity (JdbcSinkConfig.java:89,
+    JdbcDbWriter.java:88,103,233-241): every destination table name —
+    including flatten-produced and RENAMED ones — substitutes into the
+    ${topic} template; rename precedes the template, case forcing
+    applies to the name but not the template literal, and an empty
+    result raises."""
+    cfg = FlattenConfig(topic="atopic", table_name_format="dw_${topic}")
+    plan = compile_flatten_plan(None, PERSON_ADDRESS, cfg, value_record_name="Person")
+    assert "dw_atopic_person" in table_names(plan)
+    assert all(t.startswith("dw_") for t in table_names(plan))
+
+    # rename map wins first, THEN the template wraps the renamed name
+    cfg2 = FlattenConfig(
+        topic="atopic",
+        rename_tables={"atopic_person_address": "addr"},
+        table_name_format="dw_${topic}",
+    )
+    plan2 = compile_flatten_plan(None, PERSON_ADDRESS, cfg2, value_record_name="Person")
+    assert "dw_addr" in table_names(plan2)
+
+    # uppercase forces the NAME, not the template's literal prefix
+    cfg3 = FlattenConfig(
+        topic="atopic", uppercase=True, table_name_format="dw_${topic}"
+    )
+    plan3 = compile_flatten_plan(None, PERSON_ADDRESS, cfg3, value_record_name="Person")
+    assert "dw_ATOPIC_PERSON" in table_names(plan3)
+
+    # empty result raises like the reference's ConnectException
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        compile_flatten_plan(
+            None,
+            PERSON_ADDRESS,
+            FlattenConfig(topic="atopic", table_name_format=""),
+            value_record_name="Person",
+        )
+
+
 def test_fields_whitelist_prunes_non_pk_leaves():
     """fields.whitelist parity (FieldsMetadata.java:144-146,
     JdbcSinkConfig.java:188-196): only whitelisted simple names

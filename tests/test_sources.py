@@ -239,3 +239,93 @@ def test_query_mode_polls_a_derived_dataframe(spark, events):
         batch_max_rows=total + 1, offset=dict(p1.offset),
     )
     assert p2.poll(derived).count() == total - n1
+
+
+@pytest.fixture()
+def two_ts(spark, events):
+    """A two-timestamp-column CDC shape: nullable ``updated_at``
+    beside non-null ``created_at`` — updated_at set (always LATER than
+    created_at, like a real UPDATE) on every third row."""
+    return events.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+        ).alias("updated_at"),
+        F.col("ts").alias("created_at"),
+    ).cache()
+
+
+def test_poller_multi_ts_coalesce_drains_in_order(spark, two_ts):
+    """Multi-ts mode: COALESCE(updated_at, created_at) drives the
+    predicate, order, and offset — no skip, no dup, total order
+    (TimestampIncrementingCriteria.java:283-293)."""
+    total = two_ts.count()
+    poller = TablePoller(
+        mode="timestamp+incrementing",
+        ts_col=["updated_at", "created_at"],
+        inc_col="event_id",
+        batch_max_rows=149,
+    )
+    seen = []
+    for batch in poller.poll_all(two_ts):
+        rows = batch.select(
+            F.coalesce("updated_at", "created_at").alias("eff"), "event_id"
+        ).collect()
+        seen.extend((r.eff, r.event_id) for r in rows)
+    assert len(seen) == total == len(set(seen))
+    assert seen == sorted(seen)
+
+
+def test_poller_multi_ts_resume_with_nulls_in_first_column(spark, two_ts):
+    """Restart from a persisted offset mid-stream: rows whose FIRST ts
+    column is null (COALESCE falls through to created_at) are neither
+    re-emitted nor skipped."""
+    p1 = TablePoller(
+        mode="timestamp+incrementing",
+        ts_col=["updated_at", "created_at"],
+        inc_col="event_id",
+        batch_max_rows=200,
+    )
+    first = {r.event_id for r in p1.poll(two_ts).collect()}
+    p2 = TablePoller(
+        mode="timestamp+incrementing",
+        ts_col=["updated_at", "created_at"],
+        inc_col="event_id",
+        batch_max_rows=10**6,
+        offset=dict(p1.offset),
+    )
+    rest = {r.event_id for r in p2.poll(two_ts).collect()}
+    assert first and rest and not (first & rest)
+    assert first | rest == {r.event_id for r in two_ts.collect()}
+
+
+def test_validate_non_null_rejects_null_offset_columns(spark, two_ts):
+    """validate.non.null (default on): a null effective timestamp or a
+    null incrementing value fails the first poll with remediation
+    guidance; validate_non_null=False documents the skip semantics
+    (JdbcSourceConnectorConfig.java:247-253)."""
+    # updated_at alone is nullable -> COALESCE over BOTH columns is
+    # fine, but configuring ONLY updated_at must raise
+    bad = TablePoller(mode="timestamp", ts_col="updated_at")
+    with pytest.raises(ValueError, match="skipped forever"):
+        bad.poll(two_ts)
+    ok = TablePoller(mode="timestamp", ts_col=["updated_at", "created_at"])
+    assert ok.poll(two_ts).count() > 0  # passes the check
+
+    # null incrementing column
+    with_null_inc = two_ts.withColumn(
+        "inc2", F.when(F.col("event_id") % 5 != 0, F.col("event_id"))
+    )
+    bad_inc = TablePoller(mode="incrementing", inc_col="inc2")
+    with pytest.raises(ValueError, match="incrementing column"):
+        bad_inc.poll(with_null_inc)
+
+    # opting out: rows with a null offset are silently invisible
+    opt_out = TablePoller(
+        mode="incrementing", inc_col="inc2",
+        batch_max_rows=10**6, validate_non_null=False,
+    )
+    got = opt_out.poll(with_null_inc).count()
+    visible = with_null_inc.filter(F.col("inc2").isNotNull()).count()
+    assert got == visible < with_null_inc.count()
