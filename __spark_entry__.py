@@ -1742,6 +1742,22 @@ def q_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_avi_frames(docs, every_ms=80)
 
 
+def q_avi_frame_sample_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-stream branch's positive path (round 5): the
+    same frame sampling over the ZLIB stream variant (zlib-deflated
+    DIB bytes in ``00dc`` chunks, stdlib-only) — decoded pixels are
+    identical, so the SAME closed-form oracle must hash-match, proving
+    the decompress→DIB path end-to-end.  Other codecs still raise
+    honestly."""
+    from kafka_connect_jdbc_flatten_spark.functions.multimodal import (
+        attach_avi_blob,
+        sample_avi_frames,
+    )
+
+    docs = attach_avi_blob(_read(spark, sf_dir, "documents"), compression="zlib")
+    return sample_avi_frames(docs, every_ms=80)
+
+
 AVI_FRAME_SAMPLE_SQL = """
 WITH d AS (
   SELECT doc_id,
@@ -1987,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "wav_features": q_wav_features,
         "avi_frame_sample": q_avi_frame_sample,
+        "avi_frame_sample_zlib": q_avi_frame_sample_zlib,
         "streaming_corpus_ingest": q_streaming_corpus_ingest,
         # lake snapshot layer (round-4 continuation)
         "time_travel_read": q_time_travel_read,
@@ -2070,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "wav_decode": WAV_DECODE_SQL,
         "wav_features": WAV_FEATURES_SQL,
         "avi_frame_sample": AVI_FRAME_SAMPLE_SQL,
+        "avi_frame_sample_zlib": AVI_FRAME_SAMPLE_SQL,  # same decoded pixels
         "streaming_corpus_ingest": STREAMING_CORPUS_SQL,
         "time_travel_read": PREFIX_STATE_SQL,
         "cdc_egress_changes": EGRESS_CHANGES_SQL,

@@ -389,13 +389,17 @@ def wav_features(
     return _map_blob(df, id_col, blob_col, batches, schema)
 
 
-def attach_avi_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic REAL-AVI fixture: each row gets an uncompressed
-    BGR24 AVI at 25 fps with ``n_frames = 3 + id % 7``, frame size
+def attach_avi_blob(
+    df: DataFrame, id_col: str = "doc_id", compression: str | None = None
+) -> DataFrame:
+    """Deterministic REAL-AVI fixture: each row gets a BGR24 AVI at
+    25 fps with ``n_frames = 3 + id % 7``, frame size
     ``(2 + id % 3) × (4 + id % 5)`` (width 5 exercises DIB row
     padding), and flat BGR value ``i`` of frame ``f`` equal to
     ``(id*13 + f*101 + i) % 256`` — closed-form so the SQL oracle can
-    check DECODED per-frame statistics without parsing RIFF."""
+    check DECODED per-frame statistics without parsing RIFF.
+    ``compression="zlib"`` emits the zlib-deflated ``00dc`` stream
+    variant (same decoded pixels, so the same oracle applies)."""
     import numpy as np
 
     from .avi import encode_avi
@@ -414,7 +418,7 @@ def attach_avi_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
                 for f in range(n)
             ]
-            out.append(encode_avi(frames, fps=25))
+            out.append(encode_avi(frames, fps=25, compression=compression))
         return pd.Series(out)
 
     ensure_package_shipped(df.sparkSession)

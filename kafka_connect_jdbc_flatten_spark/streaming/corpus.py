@@ -133,6 +133,12 @@ class StreamingCorpusIngest:
         self.lineage_dir = os.path.join(warehouse, "_corpus_lineage")
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.batch_stats: list[dict] = []
+        # per-progress stateOperators metrics (rows/bytes held by the
+        # dedup state store), harvested by run_available — the state
+        # SIZE is first-class lineage, so an unbounded corpus-lifetime
+        # fingerprint set is a visible, monitored choice rather than a
+        # surprise (r4 verdict #8)
+        self.state_stats: list[dict] = []
 
     # ------------------------------------------------------------------
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -260,7 +266,45 @@ class StreamingCorpusIngest:
             q.stop()
         if q.exception() is not None:
             raise q.exception()
+        self._harvest_state_metrics(q)
         return self.batch_stats
+
+    def _harvest_state_metrics(self, q) -> None:
+        """Record the dedup state store's size per micro-batch from the
+        query's progress events (``stateOperators``: rows held, rows
+        expired by the watermark, memory/disk bytes) into lineage.
+
+        This is the observable half of the state-lifecycle contract:
+        with ``ts_col`` set, ``numRowsRemoved`` > 0 and a non-growing
+        ``numRowsTotal`` prove the watermark actually expires
+        fingerprint state; without it, a monotonically growing
+        ``numRowsTotal`` is the documented cost of exact unwindowed
+        dedup — either way the operator's memory story is in the
+        lineage dir, not in a docstring."""
+        for p in q.recentProgress:
+            prog = json.loads(p.json) if hasattr(p, "json") else dict(p)
+            for i, so in enumerate(prog.get("stateOperators") or []):
+                rec = {
+                    "batch_id": prog.get("batchId"),
+                    "operator": so.get("operatorName"),
+                    "state_rows": so.get("numRowsTotal"),
+                    "rows_updated": so.get("numRowsUpdated"),
+                    "rows_removed": so.get("numRowsRemoved"),
+                    "memory_bytes": so.get("memoryUsedBytes"),
+                    "custom": {
+                        k: v
+                        for k, v in (so.get("customMetrics") or {}).items()
+                        if "Bytes" in k or "loadedMap" in k
+                    },
+                }
+                self.state_stats.append(rec)
+                name = f"state-{prog.get('batchId')}-{i}"
+                tmp = os.path.join(self.lineage_dir, f".{name}.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(rec, f)
+                os.rename(
+                    tmp, os.path.join(self.lineage_dir, f"{name}.json")
+                )
 
     def read(self) -> DataFrame:
         return self.table.read().drop(SEQ_COL)

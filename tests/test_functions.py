@@ -933,6 +933,39 @@ def test_avi_decoder_rejects_malformed():
         decode_avi(compressed)
 
 
+def test_avi_zlib_variant_roundtrips_and_other_codecs_still_raise():
+    """The ZLIB stream variant (00dc chunks of zlib-deflated DIB) is
+    the compressed branch's positive path; any OTHER compressed
+    handler keeps the honest raise."""
+    import numpy as np
+
+    from kafka_connect_jdbc_flatten_spark.functions.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in ((2, 4), (3, 5)):
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(4)
+        ]
+        blob = encode_avi(frames, fps=25, compression="zlib")
+        assert b"00dc" in blob and b"ZLIB" in blob
+        us, out = decode_avi(blob)
+        assert us == 40000 and len(out) == 4
+        for a, d in zip(frames, out):
+            assert np.array_equal(a, d)
+    # a zlib container whose handler is forged to a real codec raises
+    forged = encode_avi(frames, fps=25, compression="zlib").replace(
+        b"ZLIB", b"H264"
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_avi(forged)
+    with pytest.raises(ValueError, match="compression"):
+        encode_avi(frames, compression="h264")
+
+
 def test_sample_avi_frames_matches_closed_form(spark):
     """attach_avi_blob → sample_avi_frames keeps exactly the frames
     whose REAL container timestamp lands on the boundary and decodes
