@@ -479,6 +479,124 @@ def q_poller_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 POLLER_DRAIN_SQL = "SELECT event_id, ts, user_id, event_type, value, props FROM events"
 
 
+def q_query_mode_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``query``-mode source (S7b, ``JdbcSourceConnectorConfig.java:229``):
+    the reference polls a custom SELECT instead of a table.  Here any
+    DataFrame IS the polled object, so query mode = polling a derived
+    relation (projection + join) with the same timestamp+incrementing
+    criteria and resumable offsets as a plain table: poll one
+    4000-row page, then resume from the serialized offset and return
+    the remainder — exactly the rows past the page boundary in
+    (ts, event_id) total order."""
+    from kafka_connect_jdbc_flatten_spark.sources.poller import TablePoller
+
+    ev = _read(spark, sf_dir, "events")
+    users = (
+        ev.select((F.col("user_id") % 7).alias("uid"))
+        .distinct()
+        .withColumn(
+            "tier", F.concat(F.lit("t"), (F.col("uid") % 3).cast("string"))
+        )
+    )
+    derived = (
+        ev.withColumn("uid", F.col("user_id") % 7)
+        .join(users, "uid")
+        .select("event_id", "ts", "event_type", "tier")
+    )
+    p1 = TablePoller(
+        mode="timestamp+incrementing",
+        ts_col="ts",
+        inc_col="event_id",
+        batch_max_rows=4000,
+    )
+    p1.poll(derived)  # first page; advances the serialized offset
+    p2 = TablePoller(
+        mode="timestamp+incrementing",
+        ts_col="ts",
+        inc_col="event_id",
+        batch_max_rows=1_000_000_000,
+        offset=dict(p1.offset),
+    )
+    return p2.poll(derived)
+
+
+QUERY_MODE_TAIL_SQL = """
+WITH u AS (SELECT DISTINCT user_id % 7 AS uid FROM events),
+     ut AS (SELECT uid, 't' || CAST(uid % 3 AS VARCHAR) AS tier FROM u),
+     d AS (SELECT e.event_id, e.ts, e.event_type, ut.tier
+           FROM events e JOIN ut ON e.user_id % 7 = ut.uid),
+     b AS (SELECT ts, event_id FROM d ORDER BY ts, event_id LIMIT 1 OFFSET 3999)
+SELECT d.event_id, d.ts, d.event_type, d.tier FROM d, b
+WHERE (d.ts = b.ts AND d.event_id > b.event_id) OR d.ts > b.ts
+"""
+
+
+def q_record_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record validation (A9, ``RecordValidator.java:45-132``): a
+    declarative split of the changelog into (valid, violations) under
+    both delete modes.  Fixture derives deterministically from
+    ``events``: every 7th record is a tombstone (null value), every
+    11th has a null key — so all three violation branches (tombstone
+    with null key; null value with deletes disabled; null key) are
+    exercised and oracle-checked."""
+    from kafka_connect_jdbc_flatten_spark.operators.validate import (
+        VIOLATION_COL,
+        split_valid,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.when(
+            F.col("event_id") % 11 != 0,
+            F.struct(F.col("event_id").alias("id")),
+        ).alias("key"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.struct(F.col("event_type"), F.col("value")),
+        ).alias("value"),
+    )
+    parts = []
+    for mode, enabled in (("deletes_on", True), ("deletes_off", False)):
+        valid, bad = split_valid(changelog, delete_enabled=enabled)
+        parts.append(
+            valid.select(
+                F.lit(mode).alias("mode"),
+                F.col("offset").alias("rec_offset"),
+                F.lit(None).cast("string").alias("violation"),
+            )
+        )
+        parts.append(
+            bad.select(
+                F.lit(mode).alias("mode"),
+                F.col("offset").alias("rec_offset"),
+                F.col(VIOLATION_COL).alias("violation"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+RECORD_VALIDATION_SQL = """
+SELECT 'deletes_on' AS mode, event_id AS rec_offset,
+       CASE WHEN event_id % 7 = 0 AND event_id % 11 = 0
+            THEN 'tombstone with null key (RecordValidator.java:60-74)'
+       END AS violation
+FROM events
+UNION ALL
+SELECT 'deletes_off', event_id,
+       CASE WHEN event_id % 7 = 0
+            THEN 'null value with delete.enabled=false (RecordValidator.java:83-97)'
+            WHEN event_id % 11 = 0 THEN 'null key'
+       END
+FROM events
+"""
+
+
 def q_flatten_uppercase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flatten.uppercase=true forces upper-cased identifiers
     (``FlattenTransformation.java:723-725``)."""
@@ -1950,6 +2068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_tail": q_incremental_tail,
         "incremental_tail_multits": q_incremental_tail_multits,
         "poller_drain": q_poller_drain,
+        "query_mode_tail": q_query_mode_tail,
+        "record_validation": q_record_validation,
         "flatten_uppercase": q_flatten_uppercase,
         "table_name_format": q_table_name_format,
         "lww_window": q_lww_window,
@@ -2029,6 +2149,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_tail": INCREMENTAL_TAIL_SQL,
         "incremental_tail_multits": INCREMENTAL_TAIL_MULTITS_SQL,
         "poller_drain": POLLER_DRAIN_SQL,
+        "query_mode_tail": QUERY_MODE_TAIL_SQL,
+        "record_validation": RECORD_VALIDATION_SQL,
         "flatten_uppercase": UPPERCASE_SQL,
         "table_name_format": TABLE_NAME_FORMAT_SQL,
         "lww_window": LWW_SQL,
