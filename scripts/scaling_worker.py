@@ -16,6 +16,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def calibrate() -> float:
+    """Fixed single-thread CPU probe (md5 over 64 MiB), same as
+    bench.py: a rep whose calibration is well above the idle ~0.1 s
+    ran in a loaded host window — flagged IN-BAND so noisy scaling
+    pairs are attributable from the JSON alone."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(buf)
+    h.hexdigest()
+    return round(time.time() - t0, 4)
+
+
 def main():
     cpus = int(sys.argv[1])
     feed = sys.argv[2]
@@ -80,10 +96,12 @@ def main():
             lo = hi
 
         applier = CdcApplier(spark, wh, E._transcript_plan(), n_buckets=32)
+        cal = calibrate()
         t0 = time.time()
         for i, (batch, n) in enumerate(slices):
             applier.apply_batch(batch, batch_id=i, n_rows_hint=n)
         wall = time.time() - t0
+        cal = min(cal, calibrate())  # best of before/after probes
         final_rows = applier.read(E.TURNS_TABLE).count()
         print(
             json.dumps(
@@ -93,6 +111,7 @@ def main():
                     "wall_sec": round(wall, 2),
                     "events_per_sec": round(n_events / wall, 1),
                     "final_rows": final_rows,
+                    "calibration": cal,
                 }
             )
         )

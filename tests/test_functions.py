@@ -1470,3 +1470,27 @@ def test_unigram_logprob_heldout_matches_python_model(spark):
     for r in out:
         n, lp = expect[r.doc_id]
         assert r.n_tokens == n and r.avg_logprob == pytest.approx(lp, abs=2e-4)
+
+
+def test_spread_short_circuits_wide_file_scans(spark, tmp_path):
+    """spread() must not force a plan->RDD conversion when the scan's
+    file list already covers the core count (r4 verdict cosmetic #5):
+    a >=target-file input returns the SAME DataFrame object, and a
+    1-file input still repartitions up to defaultParallelism."""
+    from kafka_connect_jdbc_flatten_spark.functions.util import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = str(tmp_path / "wide")
+    spark.range(0, 1000).repartition(target).write.parquet(wide)
+    wdf = spark.read.parquet(wide)
+    assert len(wdf.inputFiles()) >= target
+    assert spread(wdf) is wdf  # metadata-only short-circuit, no shuffle
+
+    narrow = str(tmp_path / "narrow")
+    spark.range(0, 1000).coalesce(1).write.parquet(narrow)
+    ndf = spread(spark.read.parquet(narrow))
+    assert ndf.rdd.getNumPartitions() >= target
+
+    # non-file-backed plans fall through to the RDD probe, no raise
+    local = spread(spark.range(0, 10).coalesce(1))
+    assert local.rdd.getNumPartitions() >= target
