@@ -49,10 +49,30 @@ def connected_components(
     and its neighbors; (2) pointer-jump ``lbl ← lbl[lbl]``.  Stops
     when no label changed.
     """
-    fwd = pairs.select(F.col(id1_col).alias("a"), F.col(id2_col).alias("b"))
-    edges = fwd.union(
-        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    # both edge directions from ONE evaluation of the pairs subtree:
+    # union(fwd, fwd.reversed) plans the (often expensive) pair
+    # computation as two independent subtrees and runs it twice —
+    # at the semantic-dedup gate the within-cluster cosine stage was
+    # the whole query cost, paid 2× (r6 measurement: 31 s × 2 at 20 k
+    # vectors).  explode(array(fwd, rev)) emits both directions from a
+    # single pass instead (guide §2.4: remove duplicated subtrees).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id1_col).alias("a"), F.col(id2_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(id2_col).alias("a"), F.col(id1_col).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
+        .distinct()
+        .persist()
+    )
 
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
@@ -76,32 +96,40 @@ def connected_components(
             .agg(F.min("nlbl").alias("nmin"))
             .select(F.col("a").alias("id"), "nmin")
         )
+        # the previous label rides along as old_lbl so convergence is a
+        # plain filter over the checkpointed result instead of an extra
+        # jumped⋈labels diff join per round (r6: one fewer shuffle join
+        # per round, same exact #changed semantics — labels only ever
+        # decrease)
         stepped = labels.join(nbr_min, "id", "left").select(
-            "id", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl")
+            "id",
+            F.col("lbl").alias("old_lbl"),
+            F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"),
         )
+        # persist: the pointer-jump self-join below reads `stepped` on
+        # BOTH sides — unpersisted, the neighbor-min join/aggregate
+        # subtree would be planned and executed twice per round (the
+        # same duplicated-subtree class as the edges union above)
+        stepped = stepped.persist()
         # pointer jumping: adopt my label's label (labels are node ids,
         # so the lookup always hits)
         ref = stepped.select(
             F.col("id").alias("ref_id"), F.col("lbl").alias("ref_lbl")
         )
         # localCheckpoint (not just persist): each round references the
-        # previous labels 3× (neighbor join, jump self-join, convergence
-        # diff), so the LOGICAL plan would grow ~3^rounds and OOM the
-        # driver on long-diameter graphs before any data does —
-        # truncating lineage per round keeps the plan O(1)
+        # previous labels several times, so the LOGICAL plan would grow
+        # geometrically and OOM the driver on long-diameter graphs
+        # before any data does — truncating lineage per round keeps the
+        # plan O(1)
         jumped = (
             stepped.join(ref, stepped["lbl"] == ref["ref_id"], "left")
-            .select("id", F.coalesce("ref_lbl", "lbl").alias("lbl"))
+            .select("id", "old_lbl", F.coalesce("ref_lbl", "lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.select("id", F.col("lbl").alias("new_lbl"))
-            .join(labels, "id")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
+        changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
+        stepped.unpersist()
         labels.unpersist()
-        labels = jumped
+        labels = jumped.select("id", "lbl")
         if changed == 0:
             break
     edges.unpersist()

@@ -676,8 +676,6 @@ def ivf_train_centroids(
     so full-probe search remains exactly brute force under ANY
     train_fraction.  Caller keeps ``train_fraction · n ≫ k``.
     """
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     train = embeddings
@@ -694,6 +692,10 @@ def ivf_train_centroids(
         .select(vec_col)
         .collect()
     )
+    if dim is None and init:
+        # dimensionality read off the init vectors — a separate
+        # `first()` probe would be one extra driver action per call
+        dim = len(init[0][0])
     if len(init) < k:
         raise ValueError(
             f"train sample has {len(init)} vectors < k={k}; "

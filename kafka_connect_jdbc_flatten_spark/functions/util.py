@@ -4,6 +4,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_SIZE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+}
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value (``'4194304b'``, ``'128MB'``,
+    bare digits) to bytes."""
+    s = str(v).strip().lower()
+    for suf in ("kb", "mb", "gb", "b", "k", "m", "g"):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * _SIZE_SUFFIX[suf]
+    return int(float(s))
+
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure at least ``defaultParallelism * min_factor`` partitions.
@@ -17,16 +34,24 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
 
     The partition-count probe via ``df.rdd`` forces a plan→RDD
     conversion; at real scale we short-circuit it with the scan's
-    file list (metadata-only): ≥ target files means the input is
-    already wide — either it splits into ≥ target tasks, or split
-    packing (``files.openCostInBytes``) has bounded each task's bytes
-    and a round-robin shuffle of the whole input would cost more than
-    it buys.  The RDD probe then only runs on small inputs, where it
-    is trivially cheap.
+    file list (metadata-only).  Split packing charges each file only
+    ``files.openCostInBytes`` (4 MB) against a ``maxPartitionBytes``
+    (128 MB) budget, so up to ~32 tiny files can share one task —
+    ``≥ target`` files therefore does NOT guarantee ``≥ target``
+    tasks, and spread()'s callers are CPU-bound per row, where the
+    byte-bounded-task rationale doesn't apply (r5 advisory).  The
+    short-circuit now requires ``target × 32`` files — enough that
+    even maximal packing still yields ≥ target tasks — and smaller
+    file counts fall through to the exact RDD probe, which is cheap
+    at exactly those sizes.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * min_factor
     try:
-        if len(df.inputFiles()) >= target:
+        open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes"))
+        max_bytes = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        pack = max(1, max_bytes // max(open_cost, 1))
+        if len(df.inputFiles()) >= target * pack:
             return df
     except Exception:
         pass  # non-file-backed plans (streaming, local relations)

@@ -175,6 +175,32 @@ def test_semantic_arrow_impls_match_expr_k256(spark, emb300):
     assert got == base and len(base) >= 20  # 10 dup pairs minimum
 
 
+def test_grouped_gemm_tiling_matches_untiled(spark, emb300, monkeypatch):
+    """r6: the grouped Arrow kernels tile the per-cluster GEMM so peak
+    memory is O(block·n), not O(n²).  Forcing a tiny tile budget (many
+    blocks per cluster) must not change a single output row vs the
+    expr pair path — tiling is a pure memory-shape change."""
+    from kafka_connect_jdbc_flatten_spark.functions import semantic as SEM
+
+    base = sorted(
+        map(tuple, semantic_dedup(
+            emb300, k=4, threshold=0.999, iters=0,
+            assign_impl="expr", pair_impl="expr",
+        ).collect())
+    )
+    # ~75 rows/cluster at k=4; 2 KiB tiles → block of ~3 rows → ~25
+    # tiles per cluster, exercising block boundaries and the fused
+    # union-find across tiles
+    monkeypatch.setattr(SEM, "_GEMM_TILE_BYTES", 2 << 10)
+    got = sorted(
+        map(tuple, semantic_dedup(
+            emb300, k=4, threshold=0.999, iters=0,
+            assign_impl="expr", pair_impl="arrow",
+        ).collect())
+    )
+    assert got == base and len(base) >= 20
+
+
 def test_assignment_plan_is_bounded_at_semdedup_scale_k(spark):
     """k=1024 × dim=256 — the literal-centroid expression would embed
     262 144 plan literals (Catalyst/Janino blow up long before data
