@@ -141,11 +141,30 @@ def brute_force_topk(
         )
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
-    joined = spread(embeddings).crossJoin(F.broadcast(queries)).select(
+    # norms hoisted BELOW the join (r6, guide §2.3): cosine(v, q)
+    # expands to three interpreted array folds per (vec, query) pair,
+    # but each norm is a per-row quantity — computing it in the
+    # pre-join projection divides the fold count by ~3 with
+    # bit-identical doubles (the norm VALUE is unchanged), so the
+    # oracle hash is unaffected.  The join node keeps the projection
+    # from collapsing upward.
+    emb_n = spread(embeddings).select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__ne"),
+    )
+    q_n = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        norm(F.col(query_vec_col)).alias("__nq"),
+    )
+    joined = emb_n.crossJoin(F.broadcast(q_n)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            cosine(F.col(vec_col), F.col(query_vec_col)), round_dp
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__ne") * F.col("__nq")),
+            round_dp,
         ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -308,18 +327,28 @@ def embedding_neardup_pairs(
     if impl != "expr":
         raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     emb = spread(embeddings)
+    # per-row norms hoisted below the join (r6): 1 fold per pair
+    # instead of 3, bit-identical doubles (see brute_force_topk)
     a = emb.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("__n1"),
     )
     b = emb.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("__n2"),
     )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select(
             "id1",
             "id2",
-            F.round(cosine(F.col("v1"), F.col("v2")), round_dp).alias("cos"),
+            F.round(
+                dot(F.col("v1"), F.col("v2"))
+                / (F.col("__n1") * F.col("__n2")),
+                round_dp,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -469,18 +498,35 @@ def embedding_neardup_pairs_lsh(
         )
         cand = c if cand is None else cand.unionByName(c)
     pairs = cand.dropDuplicates(["id1", "id2"])
-    vecs = base.select("id", "v")
+    # per-row norms computed once in the vector re-join sides (r6):
+    # the exact verify then pays 1 fold per candidate instead of 3,
+    # with bit-identical doubles (see brute_force_topk)
+    vecs = base.select("id", "v", norm(F.col("v")).alias("__n"))
     out = (
         pairs.join(
-            vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1"
+            vecs.select(
+                F.col("id").alias("id1"),
+                F.col("v").alias("v1"),
+                F.col("__n").alias("__n1"),
+            ),
+            "id1",
         )
         .join(
-            vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2"
+            vecs.select(
+                F.col("id").alias("id2"),
+                F.col("v").alias("v2"),
+                F.col("__n").alias("__n2"),
+            ),
+            "id2",
         )
         .select(
             "id1",
             "id2",
-            F.round(cosine(F.col("v1"), F.col("v2")), round_dp).alias("cos"),
+            F.round(
+                dot(F.col("v1"), F.col("v2"))
+                / (F.col("__n1") * F.col("__n2")),
+                round_dp,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -811,11 +857,22 @@ def ivf_topk(
             query_vec_col, round_dp,
         )
     elif impl == "expr":
-        cand = indexed.join(F.broadcast(q_probe), "cid").select(
+        # norms hoisted below the probe join (r6): one fold per
+        # (candidate, query) pair, bit-identical doubles (see
+        # brute_force_topk)
+        indexed_n = indexed.select(
+            "*", norm(F.col(vec_col)).alias("__ne")
+        )
+        q_probe_n = q_probe.select(
+            "*", norm(F.col(query_vec_col)).alias("__nq")
+        )
+        cand = indexed_n.join(F.broadcast(q_probe_n), "cid").select(
             query_id_col,
             id_col,
             F.round(
-                cosine(F.col(vec_col), F.col(query_vec_col)), round_dp
+                dot(F.col(vec_col), F.col(query_vec_col))
+                / (F.col("__ne") * F.col("__nq")),
+                round_dp,
             ).alias("score"),
         )
     else:
@@ -989,14 +1046,30 @@ def lsh_topk(
             queries, id_col, vec_col, query_id_col, query_vec_col, round_dp,
         )
     elif impl == "expr":
+        # norms hoisted below the joins (r6): one fold per candidate,
+        # bit-identical doubles (see brute_force_topk)
         cand = (
-            cand_ids.join(emb.select(id_col, vec_col), id_col)
-            .join(F.broadcast(queries), query_id_col)
+            cand_ids.join(
+                emb.select(
+                    id_col, vec_col, norm(F.col(vec_col)).alias("__ne")
+                ),
+                id_col,
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        "*", norm(F.col(query_vec_col)).alias("__nq")
+                    )
+                ),
+                query_id_col,
+            )
             .select(
                 query_id_col,
                 id_col,
                 F.round(
-                    cosine(F.col(vec_col), F.col(query_vec_col)), round_dp
+                    dot(F.col(vec_col), F.col(query_vec_col))
+                    / (F.col("__ne") * F.col("__nq")),
+                    round_dp,
                 ).alias("score"),
             )
         )

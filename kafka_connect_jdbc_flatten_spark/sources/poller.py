@@ -76,6 +76,7 @@ class TablePoller:
         elif self.mode == "timestamp":
             self.inc_col = None
         self._validated = False
+        self._last_poll_rows = 0  # set by poll(); consumed by poll_all
 
     @property
     def criteria(self) -> IncrementalCriteria:
@@ -96,6 +97,17 @@ class TablePoller:
                 (crit.ts_expr().isNull(),
                  f"timestamp column(s) {list(crit.ts_cols)}")
             )
+        if not checks:
+            return
+        # one combined probe on the happy path (r6: the per-check
+        # probes were one job each, every first poll); the per-check
+        # scans below run only once a violation is known to exist,
+        # so the error text still names the exact offending column
+        any_null = F.lit(False)
+        for cond, _ in checks:
+            any_null = any_null | cond
+        if df.filter(any_null).limit(1).count() == 0:
+            return
         for cond, what in checks:
             if df.filter(cond).limit(1).count() > 0:
                 raise ValueError(
@@ -158,7 +170,41 @@ class TablePoller:
                 last_ts, last_inc, end_ts=end_ts, delay_ms=self.timestamp_delay_ms
             )
         )
+
         order = [e.asc() for e in crit.order_exprs()]
+
+        # short-page fast path (r6): when the remainder fits one page,
+        # the LIMIT selects ALL matching rows, so the batch can skip it
+        # — ``orderBy().limit(big_n)`` plans as a single-partition
+        # GlobalLimit merge, while the plain ``orderBy`` stays a
+        # parallel range sort with the identical row set AND order
+        # ((ts, inc) totally orders rows, the same assumption offset
+        # resume itself relies on).  One narrow count answers "does it
+        # fit"; the offset then advances via a scan-parallel max
+        # aggregate instead of an aggregate over the sorted batch, and
+        # the count gives poll_all emptiness for free (it paid a full
+        # batch count per page before).
+        n_match = filtered.count()
+        self._last_poll_rows = n_match
+        if n_match == 0:
+            return filtered  # empty; offset unchanged
+        if n_match <= self.batch_max_rows:
+            agg_exprs = []
+            if crit.ts_cols:
+                agg_exprs.append(crit.ts_expr().alias("__ts"))
+            if self.inc_col:
+                agg_exprs.append(F.col(self.inc_col).alias("__inc"))
+            tail = filtered.agg(
+                F.max(F.struct(*agg_exprs)).alias("m")
+            ).collect()[0]["m"]
+            if tail is not None:
+                vals = list(tail)
+                if crit.ts_cols:
+                    self.offset["timestamp"] = vals.pop(0).isoformat()
+                if self.inc_col:
+                    self.offset["incrementing"] = vals.pop(0)
+            return filtered.orderBy(*order)
+
         batch = filtered.orderBy(*order).limit(self.batch_max_rows)
 
         if self.mode == "timestamp":
@@ -201,9 +247,13 @@ class TablePoller:
         poll-loop shape of ``JdbcSourceTask.poll`` without the sleep."""
         for _ in range(max_polls):
             batch = self.poll(df)
-            rows = batch.count()
-            if rows == 0:
+            if self.mode == "bulk":
+                if batch.limit(1).count() > 0:
+                    yield batch
+                return
+            # poll() already counted the remaining matches — re-counting
+            # the batch here re-evaluated its sort+limit once per page
+            # (r6: one fewer job per page)
+            if self._last_poll_rows == 0:
                 return
             yield batch
-            if self.mode == "bulk":
-                return

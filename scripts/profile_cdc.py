@@ -44,6 +44,10 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    codec = os.environ.get("CDCPROF_CODEC")
+    if codec:
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        print(f"parquet codec: {codec}", flush=True)
 
     import __spark_entry__ as E
     from kafka_connect_jdbc_flatten_spark.lake import table as table_mod
