@@ -48,6 +48,10 @@ def main():
     if codec:
         spark.conf.set("spark.sql.parquet.compression.codec", codec)
         print(f"parquet codec: {codec}", flush=True)
+    if os.environ.get("CDCPROF_COMMITTER_V2"):
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "mapreduce.fileoutputcommitter.algorithm.version", "2")
+        print("committer v2", flush=True)
 
     import __spark_entry__ as E
     from kafka_connect_jdbc_flatten_spark.lake import table as table_mod
